@@ -1,0 +1,362 @@
+"""Chunking kernels — K1 hybrid, K2 hierarchical, K4 mineru, K5 fallback,
+K6 chunk assembly.
+
+The reference delegates K1/K2 to docling's HybridChunker /
+HierarchicalChunker (``/root/reference/app/processing.py:740-791``) and
+uses ``chunker.contextualize(chunk)`` — heading context prepended to
+the chunk body — as the final text, ``.strip()``-ed
+(``app/processing.py:805-812``). docling is unavailable and
+non-hermetic, so the rebuild *specifies* deterministic equivalents with
+the same observable shape (structure-first chunks, heading context,
+token-aware merge/split under a budget) using the engine tokenizer.
+The pytest suite defines span-sequence equality against THIS spec.
+
+K5 (fixed-size fallback window chunker) replicates
+``app/processing.py:2153-2203`` exactly. K4 (mineru record→chunk
+assembly) replicates ``app/processing.py:985-1023``. K6 replicates
+``app/processing.py:1543-1589``.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Dict, List, Optional
+
+from .layout import format_records, parse_page_label
+from .toc import DEFAULT_SECTION_PATTERN, _title_level
+from .tokenizer import DEFAULT_TOKEN_BUDGET, count_tokens
+
+# ---------------------------------------------------------------------------
+# K2 — hierarchical elements (one element per block, heading context)
+# ---------------------------------------------------------------------------
+
+
+def hierarchical_elements(
+    records: List[Dict], pattern: str = DEFAULT_SECTION_PATTERN
+) -> List[Dict]:
+    """Structure pass shared by K1/K2.
+
+    ``title`` records update a heading stack (trimmed to the header's
+    level — dotted depth, else 1 — then pushed, docling-style).
+    Non-title records become elements carrying the heading snapshot.
+    Consecutive ``list`` records merge into one element (docling's
+    ``merge_list_items=True`` default behavior). ``media`` records pass
+    through as their own elements.
+
+    Element: ``{"kind","text","media_ref","pages","headings"}``.
+    """
+    stack: List[str] = []
+    elements: List[Dict] = []
+    for rec in records:
+        kind = rec["kind"]
+        if kind == "title":
+            level = _title_level(rec["content"], pattern)
+            stack = stack[: level - 1]
+            stack.append(rec["content"])
+            continue
+        if (
+            kind == "list"
+            and elements
+            and elements[-1]["kind"] == "list"
+            and elements[-1]["headings"] == stack
+        ):
+            prev = elements[-1]
+            prev["text"] += "\n" + rec["content"]
+            if rec["page"] not in prev["pages"]:
+                prev["pages"].append(rec["page"])
+            continue
+        elements.append(
+            {
+                "kind": kind,
+                "text": rec["content"],
+                "media_ref": rec["media_ref"],
+                "pages": [rec["page"]],
+                "headings": list(stack),
+            }
+        )
+    return elements
+
+
+def contextualize(headings: List[str], text: str) -> str:
+    """docling-style contextualization: headings then body, newline-joined."""
+    parts = [h for h in headings if h]
+    parts.append(text)
+    return "\n".join(parts)
+
+
+def hierarchical_chunks(
+    records: List[Dict], pattern: str = DEFAULT_SECTION_PATTERN
+) -> List[Dict]:
+    """K2 — one contextualized chunk per element, no token budgeting."""
+    chunks: List[Dict] = []
+    for el in hierarchical_elements(records, pattern):
+        if el["kind"] == "media":
+            chunks.append(
+                {
+                    "text": "",
+                    "headings": el["headings"],
+                    "hierarchy": None,
+                    "pages": el["pages"],
+                    "kind": "media",
+                    "media_ref": el["media_ref"],
+                }
+            )
+            continue
+        chunks.append(
+            {
+                "text": contextualize(el["headings"], el["text"]),
+                "headings": el["headings"],
+                "hierarchy": None,
+                "pages": el["pages"],
+                "kind": el["kind"],
+                "media_ref": el["media_ref"],
+            }
+        )
+    return chunks
+
+
+# ---------------------------------------------------------------------------
+# K1 — hybrid: token-aware split + peer merge under a budget
+# ---------------------------------------------------------------------------
+
+
+def _split_oversized(el: Dict, budget: int) -> List[Dict]:
+    """Split an element whose contextualized text exceeds the budget.
+
+    Body is repacked greedily on whitespace word boundaries so that
+    each piece's contextualized token count fits the budget. Word
+    joining uses single spaces (spec'd: only oversized elements are
+    re-whitespaced).
+    """
+    ctx_tokens = count_tokens("\n".join(el["headings"]))
+    avail = max(budget - ctx_tokens, 32)
+    if count_tokens(el["text"]) <= avail:
+        return [el]
+    pieces: List[str] = []
+    current: List[str] = []
+    current_tokens = 0
+    for word in el["text"].split():
+        wt = count_tokens(word)
+        if current and current_tokens + wt > avail:
+            pieces.append(" ".join(current))
+            current = [word]
+            current_tokens = wt
+        else:
+            current.append(word)
+            current_tokens += wt
+    if current:
+        pieces.append(" ".join(current))
+    return [{**el, "text": piece} for piece in pieces]
+
+
+def hybrid_chunks(
+    records: List[Dict],
+    budget: int = DEFAULT_TOKEN_BUDGET,
+    pattern: str = DEFAULT_SECTION_PATTERN,
+) -> List[Dict]:
+    """K1 — hierarchical elements → split oversized → merge same-heading
+    peers while the merged contextualized text fits the budget."""
+    elements = hierarchical_elements(records, pattern)
+
+    split_elements: List[Dict] = []
+    for el in elements:
+        if el["kind"] == "media":
+            split_elements.append(el)
+        else:
+            split_elements.extend(_split_oversized(el, budget))
+
+    merged: List[Dict] = []
+    for el in split_elements:
+        if (
+            merged
+            and el["kind"] != "media"
+            and merged[-1]["kind"] != "media"
+            and merged[-1]["headings"] == el["headings"]
+        ):
+            candidate = merged[-1]["text"] + "\n" + el["text"]
+            if (
+                count_tokens(contextualize(el["headings"], candidate))
+                <= budget
+            ):
+                prev = merged[-1]
+                prev["text"] = candidate
+                for p in el["pages"]:
+                    if p not in prev["pages"]:
+                        prev["pages"].append(p)
+                continue
+        merged.append(dict(el))
+
+    chunks: List[Dict] = []
+    for el in merged:
+        if el["kind"] == "media":
+            chunks.append(
+                {
+                    "text": "",
+                    "headings": el["headings"],
+                    "hierarchy": None,
+                    "pages": el["pages"],
+                    "kind": "media",
+                    "media_ref": el["media_ref"],
+                }
+            )
+        else:
+            chunks.append(
+                {
+                    "text": contextualize(el["headings"], el["text"]),
+                    "headings": el["headings"],
+                    "hierarchy": None,
+                    "pages": el["pages"],
+                    "kind": el["kind"],
+                    "media_ref": el["media_ref"],
+                }
+            )
+    return chunks
+
+
+# ---------------------------------------------------------------------------
+# K4 — mineru path: layout fold output → chunks
+# ---------------------------------------------------------------------------
+
+
+def mineru_chunks(records: List[Dict], doc_name: str) -> List[Dict]:
+    """K4 — each formatted layout record becomes one chunk.
+
+    Mirrors ``app/processing.py:985-1023``: empty content skipped, page
+    labels (possibly ``"a - b"`` ranges) expanded to int lists, text =
+    ``doc_name + " >> " + content``. ``doc_name`` plays the reference's
+    ``original_filename`` role (the span table has no filenames; the
+    doc_id is the stable identity). Media records (spec extension) pass
+    through with empty text.
+    """
+    formatted = format_records(records)
+    chunks: List[Dict] = []
+    for item in formatted:
+        if item["type"] == "media":
+            chunks.append(
+                {
+                    "text": "",
+                    "headings": None,
+                    "hierarchy": item.get("hierarchy"),
+                    "pages": parse_page_label(item["page"]),
+                    "kind": "media",
+                    "media_ref": item.get("media_ref", ""),
+                }
+            )
+            continue
+        content = item.get("content", "").strip()
+        if not content:
+            continue
+        chunks.append(
+            {
+                "text": doc_name + " >> " + content,
+                "headings": None,
+                "hierarchy": item.get("hierarchy"),
+                "pages": parse_page_label(item["page"]),
+                "kind": item["type"],
+                "media_ref": item.get("media_ref", ""),
+            }
+        )
+    return chunks
+
+
+# ---------------------------------------------------------------------------
+# K5 — fixed-size fallback window chunker (exact: app/processing.py:2153-2203)
+# ---------------------------------------------------------------------------
+
+FALLBACK_CHUNK_SIZE = 1000
+FALLBACK_OVERLAP = 100
+
+
+def fallback_chunks(
+    content: str,
+    chunk_size: int = FALLBACK_CHUNK_SIZE,
+    overlap: int = FALLBACK_OVERLAP,
+) -> List[Dict]:
+    """K5 — character windows with word-boundary break past the midpoint
+    and overlap stepping, exactly as ``app/processing.py:2177-2203``."""
+    chunks: List[Dict] = []
+    start = 0
+    n = len(content or "")
+
+    while start < n:
+        end = min(start + chunk_size, n)
+
+        if end < n:
+            break_pos = content.rfind(" ", start, end)
+            if break_pos != -1 and break_pos > start + chunk_size // 2:
+                end = break_pos + 1
+
+        chunk_text = content[start:end].strip()
+        if chunk_text:
+            chunks.append(
+                {
+                    "text": chunk_text,
+                    "headings": None,
+                    "hierarchy": None,
+                    "pages": [1],
+                    "kind": "text",
+                    "media_ref": "",
+                    "chunk_overlap": overlap if start > 0 else 0,
+                }
+            )
+
+        new_start = end - overlap
+        start = end if new_start <= start else new_start
+        if start <= 0:
+            start = end
+
+    return chunks
+
+
+# ---------------------------------------------------------------------------
+# K6 — chunk record assembly
+# ---------------------------------------------------------------------------
+
+
+def assemble_chunks(
+    doc_id: str,
+    chunks: List[Dict],
+    chunker_type: str,
+    extractor_used: str = "primary",
+) -> List[Dict]:
+    """K6 — final output records.
+
+    Mirrors ``app/processing.py:1543-1589``: text stripped, empty-text
+    chunks dropped (media chunks exempt — spec extension), pages
+    sorted/dedup'd with ``[1]`` fallback, ``chunk_size = len(text)``,
+    ``chunk_overlap`` 0 unless the chunker set one. Divergence: ids are
+    deterministic ``sha1(doc_id:chunker:index)`` instead of ``uuid4``
+    (``app/processing.py:1560`` is non-reproducible by design; ids are
+    outside the equality tuple).
+    """
+    out: List[Dict] = []
+    idx = 0
+    for ch in chunks:
+        text = (ch.get("text") or "").strip()
+        kind = ch.get("kind") or "text"
+        if not text and kind != "media":
+            continue
+        pages = ch.get("pages") or []
+        pages = sorted({int(p) for p in pages}) or [1]
+        chunk_id = hashlib.sha1(
+            f"{doc_id}:{chunker_type}:{idx}".encode("utf-8")
+        ).hexdigest()
+        out.append(
+            {
+                "chunk_id": chunk_id,
+                "doc_id": doc_id,
+                "chunk_index": idx,
+                "kind": kind,
+                "text": text,
+                "media_ref": ch.get("media_ref") or "",
+                "pages": pages,
+                "hierarchy": ch.get("hierarchy"),
+                "headings": ch.get("headings"),
+                "chunker_type": chunker_type,
+                "chunk_size": len(text),
+                "chunk_overlap": int(ch.get("chunk_overlap") or 0),
+                "extractor_used": extractor_used,
+            }
+        )
+        idx += 1
+    return out

@@ -1,0 +1,225 @@
+"""TOC (section-header-driven) chunker — K3.
+
+Re-implements the observable semantics of the reference's custom
+``TOCChunker`` (``/root/reference/app/toc_chunker.py``) over the
+engine's normalized block-record sequence instead of a DoclingDocument:
+
+* section headers = ``title`` records; dotted numbering detected by
+  ``^(\\d+(?:\\.\\d+)*)`` (``toc_chunker.py:24``);
+* hierarchy stack trimmed to dotted depth (``toc_chunker.py:112-114``);
+* continuation-header repair: an un-numbered header followed by a
+  numbered one inherits the expected previous number
+  (``toc_chunker.py:95-110``);
+* duplicate-section removal at >= ``max_repeats`` occurrences of the
+  cleaned (number-stripped) name, reproducing the reference's
+  remove-during-iteration behavior exactly (``toc_chunker.py:140-154``
+  mutates the list it iterates, skipping the element after each
+  removal — observable, so preserved);
+* same-number merge with word-dedup (``process_sections``,
+  ``toc_chunker.py:30-73``);
+* content gather: records after the header until the next header of
+  same-or-higher level; deeper headers contribute their text as content
+  (``toc_chunker.py:182-201`` — any item with ``.text`` is gathered);
+* chunk text = ``"\\n".join(hierarchy + [name]) + "\\n" + content`` with
+  content parts joined by ``"\\n\\n"`` and stripped; empty sections
+  skipped (``toc_chunker.py:203-208``).
+
+Divergence (spec'd): the reference uses docling's ``item.level`` for
+the gather cutoff; in the span-table model header level is defined as
+the dotted-numbering depth (``"3.4.1"`` → 3) and 1 for un-numbered
+headers. Media records carry no text and are skipped by the gather,
+mirroring the reference's ``hasattr(item, "text")`` probe.
+"""
+
+from __future__ import annotations
+
+import re
+from collections import Counter
+from typing import Dict, List
+
+DEFAULT_SECTION_PATTERN = r"^(\d+(?:\.\d+)*)"
+
+
+def _title_level(name: str, pattern: str) -> int:
+    m = re.match(pattern, name)
+    if m:
+        return len(m.group(1).split("."))
+    return 1
+
+
+def process_sections(sections_list: List[Dict], pattern: str) -> List[Dict]:
+    """Merge consecutive sections sharing a section number.
+
+    Mirrors ``TOCChunker.process_sections`` (``toc_chunker.py:30-73``):
+    same number → pop previous, word-dedup the new name against it,
+    concatenate.
+    """
+    last_match = None
+    sections: List[Dict] = []
+
+    for item in sections_list:
+        name = item["name"].strip()
+        if not name:
+            continue
+
+        match = re.match(pattern, name)
+        if match:
+            current_match = match.group()
+            if last_match == current_match and sections:
+                last_section = sections.pop()
+                remaining_text = name
+                for word in last_section["name"].split():
+                    if word in remaining_text:
+                        remaining_text = remaining_text.replace(word, "").strip()
+                combined_name = last_section["name"] + " " + remaining_text
+                combined_section = {**last_section, "name": combined_name}
+                sections.append(combined_section)
+            else:
+                sections.append(item)
+                last_match = current_match
+        else:
+            sections.append(item)
+
+    return sections
+
+
+def get_sections(
+    records: List[Dict],
+    pattern: str = DEFAULT_SECTION_PATTERN,
+    max_repeats: int = 2,
+) -> List[Dict]:
+    """Extract section descriptors from the record sequence.
+
+    Mirrors ``TOCChunker.get_sections`` (``toc_chunker.py:75-158``).
+    Each descriptor: ``{"name", "hierarchy", "page_no", "level",
+    "idx"}`` where ``idx`` is the record index of the header (the
+    identity the reference keeps via ``section_item``).
+    """
+    hierarchy_stack: List[str] = []
+    results: List[Dict] = []
+    last_match = None
+
+    for i, rec in enumerate(records):
+        if rec["kind"] != "title":
+            continue
+        sec = rec["content"]
+        page_no = rec["page"]
+        match = re.match(pattern, sec)
+
+        if match:
+            numbering = match.group(1)
+            parts = numbering.split(".")
+            depth = len(parts)
+
+            # continuation repair — toc_chunker.py:95-110
+            if results and not results[-1]["hierarchy"] and not last_match:
+                results[-1]["hierarchy"] = hierarchy_stack[:-1]
+                current_parts = numbering.split(".")
+                current_parts.pop()
+                last_expected_rank = int(parts[-1]) - 1
+                if last_expected_rank != 0:
+                    current_parts.append(str(last_expected_rank))
+                last_name = ".".join(current_parts)
+                if last_name:
+                    results[-1]["name"] = last_name + " " + results[-1]["name"]
+
+            hierarchy_stack = hierarchy_stack[: depth - 1]
+            hierarchy_stack.append(sec)
+
+            results.append(
+                {
+                    "name": sec,
+                    "hierarchy": hierarchy_stack[:-1],
+                    "page_no": page_no,
+                    "level": depth,
+                    "idx": i,
+                }
+            )
+        else:
+            results.append(
+                {
+                    "name": sec,
+                    "hierarchy": [],
+                    "page_no": page_no,
+                    "level": 1,
+                    "idx": i,
+                }
+            )
+
+        last_match = match
+
+    # duplicate-section removal — toc_chunker.py:140-154. The reference
+    # removes from `results` while iterating it; that skip-on-remove
+    # behavior is observable and reproduced here on purpose.
+    section_names = []
+    for item in results:
+        section_names.append(re.sub(pattern, "", item["name"]).strip())
+    section_counts = Counter(section_names)
+    for section_name, count in section_counts.items():
+        if count >= max_repeats:
+            for item in results:  # noqa: B909 — intentional mutation-in-loop
+                cleaned_item = re.sub(pattern, "", item["name"]).strip()
+                if cleaned_item == section_name:
+                    results.remove(item)
+
+    return process_sections(results, pattern)
+
+
+def toc_chunks(
+    records: List[Dict],
+    pattern: str = DEFAULT_SECTION_PATTERN,
+    approved_sections: List[Dict] | None = None,
+    max_repeats: int = 2,
+) -> List[Dict]:
+    """Chunk the record sequence by approved sections.
+
+    Mirrors ``TOCChunker.chunk`` (``toc_chunker.py:160-218``). Returns
+    chunk dicts ``{"text", "headings", "hierarchy", "pages", "kind",
+    "media_ref"}``.
+    """
+    sections = approved_sections
+    if not sections:
+        sections = get_sections(records, pattern, max_repeats)
+    if not isinstance(sections, list):
+        sections = []
+
+    chunks: List[Dict] = []
+    for section in sections:
+        section_name = section["name"]
+        current_level = section["level"]
+        page_no = section["page_no"]
+        start_idx = section["idx"]
+        hierarchy = section["hierarchy"]
+
+        section_content: List[str] = []
+        for rec in records[start_idx + 1 :]:
+            if rec["kind"] == "title":
+                lvl = _title_level(rec["content"], pattern)
+                if lvl <= current_level:
+                    break
+                # deeper headers contribute text (hasattr(item,"text"))
+                section_content.append(rec["content"])
+            elif rec["kind"] == "media":
+                continue  # no .text on picture items — skipped
+            else:
+                section_content.append(rec["content"])
+
+        text_content = "\n\n".join(section_content).strip()
+        if not text_content:
+            continue
+        text_content = (
+            "\n".join(list(hierarchy) + [section_name]) + "\n" + text_content
+        )
+
+        chunks.append(
+            {
+                "text": text_content,
+                "headings": [section_name],
+                "hierarchy": list(hierarchy),
+                "pages": [page_no] if page_no else [],
+                "kind": "text",
+                "media_ref": "",
+            }
+        )
+
+    return chunks
