@@ -1,0 +1,232 @@
+"""The distributed extraction+chunking pipeline.
+
+Plan shape (SURVEY §3.1 Spark lifecycle):
+
+    read spans table
+      ├─ size-class on size(spans)                (JVM-side, no shuffle)
+      ├─ small docs  → fused mapInPandas kernel   (no shuffle at all)
+      └─ giant docs  → posexplode → sharded per-span extraction
+                      → groupBy(doc_id) reassembly → chunk pass
+    union → chunks DataFrame
+
+Why two paths: chunking is per-document-sequential (hierarchy state),
+so a document is the atomic unit of the fused kernel. That makes one
+20 000-span document a straggler inside whatever partition it lands in
+— and AQE does not split a skewed *UDF* stage (it only handles shuffle
+joins/aggregations). The explicit size-class + shard path is the
+axis-B skew answer (SURVEY §4): the expensive per-span extraction
+(HTML DOM parsing) of a giant document is spread over many tasks via
+``repartition(doc_id, shard)``, and only the cheap ordered fold +
+chunk pass runs single-task per document after a narrow-ish shuffle of
+the 0.1% giant tail. Both paths share the same kernel cascade
+(``kernels.pipeline.chunks_from_prepared``), so output is
+byte-identical regardless of path — tests/test_spark_equality.py
+asserts it.
+
+Reference parity: large-doc splitting + recombination mirrors
+``/root/reference/app/mineru_adapter/layout_processor.py:266-359`` (split)
+and ``:24-47`` (combine) — there: 100-page PDF parts through a CLI;
+here: span-range shards through a shuffle.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Optional
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..schema import CHUNK_COLUMNS, CHUNK_DDL, SPANS_DDL
+
+#: docs with at least this many spans take the sharded path
+DEFAULT_SKEW_THRESHOLD = 4000
+#: spans per extraction shard on the giant path
+SHARD_SPANS = 512
+
+_RECORD_RAW_DDL = (
+    "doc_id string, pos int, rec_idx int, kind string, content string, "
+    "media_ref string, page int"
+)
+
+
+# ---------------------------------------------------------------------------
+# corpus source
+# ---------------------------------------------------------------------------
+
+
+def spans_from_documents(
+    spark: SparkSession,
+    sf_dir: str,
+    num_partitions: Optional[int] = None,
+    limit: Optional[int] = None,
+) -> DataFrame:
+    """Derive the deterministic span corpus from ``documents.parquet``.
+
+    Scan reads only (doc_id, text) — column pruning reaches the parquet
+    scan. The repartition gives the downstream CPU-bound kernel ~4
+    waves per core (the tiny source parquet is a single split, which
+    would otherwise serialize the whole pipeline on one task).
+    """
+    docs = spark.read.parquet(f"{sf_dir.rstrip('/')}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    if limit:
+        docs = docs.limit(limit)
+    if num_partitions is None:
+        num_partitions = spark.sparkContext.defaultParallelism * 4
+    docs = docs.repartition(num_partitions, "doc_id")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from deepdoc_api_spark.datagen import doc_id_str, gen_doc_spans
+
+        for pdf in batches:
+            rows = [
+                (doc_id_str(int(d)), gen_doc_spans(int(d), t or ""))
+                for d, t in zip(pdf["doc_id"], pdf["text"])
+            ]
+            if rows:
+                yield pd.DataFrame(rows, columns=["doc_id", "spans"])
+
+    return docs.mapInPandas(gen, SPANS_DDL)
+
+
+# ---------------------------------------------------------------------------
+# fused small-doc kernel
+# ---------------------------------------------------------------------------
+
+
+def _fused_kernel(chunker_type: str, token_budget: int):
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from deepdoc_api_spark.kernels.pipeline import chunk_document
+
+        for pdf in batches:
+            rows = []
+            for doc_id, spans in zip(pdf["doc_id"], pdf["spans"]):
+                spans_list = [dict(s) for s in spans] if spans is not None else []
+                rows.extend(
+                    chunk_document(doc_id, spans_list, chunker_type, token_budget)
+                )
+            if rows:
+                yield pd.DataFrame(rows, columns=CHUNK_COLUMNS)
+
+    return run
+
+
+# ---------------------------------------------------------------------------
+# sharded giant-doc path
+# ---------------------------------------------------------------------------
+
+
+def _extract_span_shards(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Per-span extraction (the shardable half): one input row per span,
+    output rows are normalized records plus one ``_raw`` row per span
+    (rec_idx = -1) carrying the raw text for the fallback cascade."""
+    from deepdoc_api_spark.kernels.layout import span_to_records
+
+    for pdf in batches:
+        rows = []
+        for doc_id, pos, kind, text, media_ref, offset in zip(
+            pdf["doc_id"], pdf["pos"], pdf["kind"], pdf["text"],
+            pdf["media_ref"], pdf["offset"],
+        ):
+            rows.append((doc_id, int(pos), -1, "_raw", text or "", "", 0))
+            recs = span_to_records(
+                kind or "", text or "", media_ref, int(offset or 0)
+            )
+            for i, r in enumerate(recs):
+                rows.append(
+                    (
+                        doc_id,
+                        int(pos),
+                        i,
+                        r["kind"],
+                        r["content"],
+                        r["media_ref"],
+                        int(r["page"]),
+                    )
+                )
+        if rows:
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "pos", "rec_idx", "kind", "content",
+                    "media_ref", "page",
+                ],
+            )
+
+
+def _assemble_group(chunker_type: str, token_budget: int):
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        from deepdoc_api_spark.kernels.pipeline import chunks_from_prepared
+
+        pdf = pdf.sort_values(["pos", "rec_idx"], kind="mergesort")
+        doc_id = pdf["doc_id"].iloc[0]
+        raw_texts = [
+            t or "" for t in pdf.loc[pdf["rec_idx"] < 0, "content"]
+        ]
+        recs = [
+            {
+                "kind": k,
+                "content": c or "",
+                "media_ref": m or "",
+                "page": int(p),
+                "offset": 0,
+            }
+            for k, c, m, p in zip(
+                pdf["kind"], pdf["content"], pdf["media_ref"], pdf["page"]
+            )
+            if k != "_raw"
+        ]
+        chunks = chunks_from_prepared(
+            doc_id, recs, raw_texts, chunker_type, token_budget
+        )
+        return pd.DataFrame(chunks, columns=CHUNK_COLUMNS)
+
+    return run
+
+
+# ---------------------------------------------------------------------------
+# public API
+# ---------------------------------------------------------------------------
+
+
+def chunk_documents(
+    spans_df: DataFrame,
+    chunker_type: str = "hybrid",
+    token_budget: int = 512,
+    skew_threshold: int = DEFAULT_SKEW_THRESHOLD,
+    shard_spans: int = SHARD_SPANS,
+) -> DataFrame:
+    """spans table → chunks table (declarative; caller triggers action)."""
+    src = spans_df.select("doc_id", "spans")
+    n_spans = F.size(F.col("spans"))
+
+    small = src.filter(n_spans < skew_threshold)
+    giant = src.filter(n_spans >= skew_threshold)
+
+    small_chunks = small.mapInPandas(
+        _fused_kernel(chunker_type, token_budget), CHUNK_DDL
+    )
+
+    exploded = (
+        giant.select("doc_id", F.posexplode("spans").alias("pos", "span"))
+        .select(
+            "doc_id",
+            "pos",
+            F.col("span.kind").alias("kind"),
+            F.col("span.text").alias("text"),
+            F.col("span.media_ref").alias("media_ref"),
+            F.col("span.offset").alias("offset"),
+        )
+        # spread one giant doc's spans over many tasks
+        .repartition(
+            F.col("doc_id"), (F.col("pos") / F.lit(shard_spans)).cast("int")
+        )
+    )
+    giant_records = exploded.mapInPandas(_extract_span_shards, _RECORD_RAW_DDL)
+    giant_chunks = giant_records.groupBy("doc_id").applyInPandas(
+        _assemble_group(chunker_type, token_budget), CHUNK_DDL
+    )
+
+    return small_chunks.unionByName(giant_chunks)

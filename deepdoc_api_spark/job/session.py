@@ -1,0 +1,106 @@
+"""SparkSession construction + package shipping.
+
+Centralizes the configs that matter at 100 TB scale:
+
+* AQE on (post-shuffle coalescing + skew-join splitting; the north rule
+  calls for "AQE-tuned shuffles") — note AQE does NOT rebalance a
+  straggler UDF partition, which is why job.pipeline does explicit
+  size-classing/sharding for giant documents;
+* Arrow enabled with a bounded batch size so one pathological document
+  batch cannot blow a Python worker (SURVEY §4 spill note);
+* BLAS/OMP pinned to one thread per task, mirroring the reference's
+  oversubscription guard (``/root/reference/app/processing.py:33-35``)
+  — config, not code, on Spark;
+* the kernel package shipped to executors via ``addPyFile`` (the
+  ``spark-submit --py-files`` contract; executors do not inherit the
+  driver's ``sys.path``).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+import zipfile
+from typing import Optional
+
+from pyspark.sql import SparkSession
+
+_PKG_DIR = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+_PKG_NAME = "deepdoc_api_spark"
+
+
+def build_py_files_zip(dest_dir: Optional[str] = None) -> str:
+    """Package the engine into a ``--py-files`` zip (importable root)."""
+    dest_dir = dest_dir or tempfile.mkdtemp(prefix="ddspark-pyfiles-")
+    zip_path = os.path.join(dest_dir, f"{_PKG_NAME}.zip")
+    with zipfile.ZipFile(zip_path, "w", zipfile.ZIP_DEFLATED) as zf:
+        for root, _dirs, files in os.walk(_PKG_DIR):
+            if "__pycache__" in root:
+                continue
+            for fn in files:
+                if not fn.endswith(".py"):
+                    continue
+                full = os.path.join(root, fn)
+                rel = os.path.join(
+                    _PKG_NAME, os.path.relpath(full, _PKG_DIR)
+                )
+                zf.write(full, rel)
+    return zip_path
+
+
+def get_spark(
+    app_name: str = "deepdoc_api_spark",
+    master: Optional[str] = None,
+    shuffle_partitions: Optional[int] = None,
+    arrow_batch_rows: int = 128,
+    extra_conf: Optional[dict] = None,
+) -> SparkSession:
+    """Build a tuned SparkSession and ship the kernel package."""
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(os.environ.get("SPARK_SHUFFLE_PARTITIONS", "64"))
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config(
+            "spark.sql.execution.arrow.maxRecordsPerBatch", str(arrow_batch_rows)
+        )
+        .config("spark.sql.files.maxPartitionBytes", "128m")
+        .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+        .config("spark.executorEnv.OMP_NUM_THREADS", "1")
+        .config("spark.executorEnv.OPENBLAS_NUM_THREADS", "1")
+        .config("spark.executorEnv.MKL_NUM_THREADS", "1")
+        .config("spark.ui.enabled", os.environ.get("SPARK_UI", "false"))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    ship_package(spark)
+    return spark
+
+
+def ship_package(spark: SparkSession) -> None:
+    """Make the kernel package importable on executors.
+
+    Mirrors ``spark-submit --py-files deepdoc_api_spark.zip``: build the
+    zip and ``addPyFile`` it. Safe to call on a session that already has
+    it (duplicate adds of an identical path are no-ops; a fresh temp zip
+    per session is fine because the SparkContext caches by name).
+    """
+    try:
+        zip_path = build_py_files_zip()
+        spark.sparkContext.addPyFile(zip_path)
+    except Exception:
+        # already added under the same name, or a shared session that
+        # forbids it — executors may still resolve via PYTHONPATH
+        pass

@@ -66,44 +66,36 @@ def records_to_chunks(
     return assemble_chunks(doc_id, chunks, ct)
 
 
-def _fallback_document(doc_id: str, spans: List[Dict], chunker_type: str) -> List[Dict]:
+def _fallback_raw(doc_id: str, raw_texts: List[str], chunker_type: str) -> List[Dict]:
     """P7 — basic extraction + K5 over the raw span text.
 
     The reference's fallback reads the raw file bytes (tags and all,
     ``app/processing.py:1959-1962``) and window-chunks them; the span
     analogue joins raw span texts (html left unparsed) with ``"\\n"``.
     """
-    content = "\n".join((s.get("text") or "") for s in spans if s.get("text"))
+    content = "\n".join(t for t in raw_texts if t)
     chunks = fallback_chunks(content)
     return assemble_chunks(doc_id, chunks, chunker_type, extractor_used="fallback")
 
 
-def chunk_document(
+def chunks_from_prepared(
     doc_id: str,
-    spans: List[Dict],
+    records: List[Dict],
+    raw_texts: List[str],
     chunker_type: str = "hybrid",
     token_budget: int = DEFAULT_TOKEN_BUDGET,
-    deadline_s: Optional[float] = None,
 ) -> List[Dict]:
-    """Process one document end-to-end with the reliability cascade.
-
-    Returns assembled chunk records; never raises (terminal errors
-    become a single error chunk, ``app/processing.py:1991-2003``).
-    """
-    start = time.monotonic()
+    """Cascade over already-extracted records (shared by the fused
+    small-doc kernel and the sharded giant-doc reassembly path, so both
+    produce byte-identical output for the same document)."""
     try:
-        records = extract_records(spans)
-        if deadline_s is not None and time.monotonic() - start > deadline_s:
-            raise DocTimeout(f"document {doc_id} exceeded {deadline_s}s")
         chunks = records_to_chunks(doc_id, records, chunker_type, token_budget)
         if not chunks:
-            # "Docling worker returned no chunks" → fallback
-            # (app/processing.py:563-564)
             raise RuntimeError("primary extraction returned no chunks")
         return chunks
     except Exception:
         try:
-            return _fallback_document(doc_id, spans, chunker_type)
+            return _fallback_raw(doc_id, raw_texts, chunker_type)
         except Exception as e:  # terminal error record
             return assemble_chunks(
                 doc_id,
@@ -120,3 +112,30 @@ def chunk_document(
                 chunker_type,
                 extractor_used="error",
             )
+
+
+def chunk_document(
+    doc_id: str,
+    spans: List[Dict],
+    chunker_type: str = "hybrid",
+    token_budget: int = DEFAULT_TOKEN_BUDGET,
+    deadline_s: Optional[float] = None,
+) -> List[Dict]:
+    """Process one document end-to-end with the reliability cascade.
+
+    Returns assembled chunk records; never raises (terminal errors
+    become a single error chunk, ``app/processing.py:1991-2003``).
+    """
+    start = time.monotonic()
+    raw_texts = [(s.get("text") or "") for s in spans]
+    try:
+        records = extract_records(spans)
+        if deadline_s is not None and time.monotonic() - start > deadline_s:
+            raise DocTimeout(f"document {doc_id} exceeded {deadline_s}s")
+    except Exception:
+        records = []  # forces the fallback branch below
+    # "Docling worker returned no chunks" → fallback
+    # (app/processing.py:563-564); cascade shared with the sharded path
+    return chunks_from_prepared(
+        doc_id, records, raw_texts, chunker_type, token_budget
+    )
