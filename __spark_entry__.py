@@ -1,10 +1,20 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship: the full extraction+chunking pipeline
+(deterministic interleaved-span corpus derived from sf0.001 documents →
+fused Arrow kernel → chunks table).
+
+``queries()`` — one entry per implemented operator family from
+SURVEY.md §2 plus the corpus-level training-data ops. Callables take
+``(spark, sf_dir)``.
+
+``oracle_sql()`` — DuckDB-runnable ANSI SQL for every SQL-expressible
+query (identical column names and value-exact outputs: integer-scaled
+ratios, double math with matched association order). Span-pipeline
+queries are intentionally absent here: their correctness gate is the
+in-repo pytest oracle (span-sequence equality vs the driver-side
+kernel, `python -m pytest -x -q`), which SQL cannot express — the
+driver records rows-only checks for those.
 """
 
 from __future__ import annotations
@@ -13,26 +23,136 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+SF001 = "/root/testdata/sf0.001"
+
+
+def _pipeline_chunks(spark: SparkSession, sf_dir: str, chunker_type: str) -> DataFrame:
+    from deepdoc_api_spark.job.pipeline import chunk_documents, spans_from_documents
+    from deepdoc_api_spark.job.session import ship_package
+
+    ship_package(spark)
+    spans = spans_from_documents(spark, sf_dir)
+    return chunk_documents(spans, chunker_type).select(
+        "doc_id", "chunk_index", "kind", "text", "media_ref", "pages",
+        "hierarchy", "headings", "chunker_type", "chunk_size",
+        "chunk_overlap", "extractor_used",
+    )
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return _pipeline_chunks(spark, SF001, "hybrid")
+
+
+def _q_chunks(chunker_type: str):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return _pipeline_chunks(spark, sf_dir, chunker_type)
+
+    return run
+
+
+def _q_chunk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _pipeline_chunks(spark, sf_dir, "hybrid")
+    from pyspark.sql import functions as F
+
+    return (
+        df.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum((F.col("kind") == "media").cast("long")).alias("n_media"),
+            F.sum("chunk_size").alias("total_chars"),
+        )
+        .selectExpr(
+            "doc_id",
+            "cast(n_chunks as bigint) n_chunks",
+            "cast(n_media as bigint) n_media",
+            "cast(total_chars as bigint) total_chars",
+        )
+    )
+
+
+def _q_span_kind_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from deepdoc_api_spark.job.pipeline import spans_from_documents
+    from deepdoc_api_spark.job.session import ship_package
+
+    ship_package(spark)
+    spans = spans_from_documents(spark, sf_dir)
+    return (
+        spans.select(F.explode("spans").alias("s"))
+        .groupBy(F.col("s.kind").alias("kind"))
+        .agg(F.count("*").alias("n_spans"))
+        .selectExpr("kind", "cast(n_spans as bigint) n_spans")
+    )
+
+
+def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deepdoc_api_spark.job.pipeline import spans_from_documents
+    from deepdoc_api_spark.job.session import ship_package
+    from deepdoc_api_spark.ops.multimodal import extract_media_features, media_catalog
+
+    ship_package(spark)
+    spans = spans_from_documents(spark, sf_dir)
+    return extract_media_features(media_catalog(spans), fake_decode=True)
+
+
+def _q_media_kind_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deepdoc_api_spark.job.pipeline import spans_from_documents
+    from deepdoc_api_spark.job.session import ship_package
+    from deepdoc_api_spark.ops.multimodal import media_kind_histogram
+
+    ship_package(spark)
+    return media_kind_histogram(spans_from_documents(spark, sf_dir))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    """One entry per implemented operator family (SURVEY.md §2)."""
+    from deepdoc_api_spark.ops import dedup, similarity, text_analysis
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # --- span pipeline (O1-O14, K1-K6; pytest oracle, rows-only here)
+        "extract_chunks_hybrid": _q_chunks("hybrid"),
+        "extract_chunks_hierarchical": _q_chunks("hierarchical"),
+        "extract_chunks_toc": _q_chunks("toc"),
+        "extract_chunks_mineru": _q_chunks("mineru"),
+        "extract_chunks_fallback": _q_chunks("fallback"),
+        "chunk_stats_per_doc": _q_chunk_stats,
+        "span_kind_histogram": _q_span_kind_histogram,
+        # --- multimodal plumbing (rows-only; decode is a spec'd stub)
+        "media_features": _q_media_features,
+        "media_kind_histogram": _q_media_kind_histogram,
+        # --- text analysis (DuckDB oracle)
+        "token_count": text_analysis.token_count,
+        "quality_score": text_analysis.quality_score,
+        "lang_id": text_analysis.lang_id,
+        "doc_fingerprint": text_analysis.fingerprint,
+        # --- dedup (DuckDB oracle)
+        "exact_dedup": dedup.exact_dedup,
+        "minhash_signatures": dedup.minhash_signatures,
+        "lsh_band_buckets": dedup.lsh_band_buckets,
+        "jaccard_near_dup_pairs": dedup.jaccard_near_dup_pairs,
+        "simhash16": dedup.simhash16,
+        # --- similarity search (DuckDB oracle)
+        "ann_topk_cosine": similarity.brute_force_topk,
+        "ann_topk_lsh": similarity.lsh_bucket_topk,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB oracles for the SQL-expressible queries()."""
+    from deepdoc_api_spark.ops import dedup, similarity, text_analysis
+
+    return {
+        "token_count": text_analysis.TOKEN_COUNT_SQL,
+        "quality_score": text_analysis.QUALITY_SCORE_SQL,
+        "lang_id": text_analysis.LANG_ID_SQL,
+        "doc_fingerprint": text_analysis.FINGERPRINT_SQL,
+        "exact_dedup": dedup.EXACT_DEDUP_SQL,
+        "minhash_signatures": dedup.MINHASH_SIGNATURES_SQL,
+        "lsh_band_buckets": dedup.LSH_BAND_BUCKETS_SQL,
+        "jaccard_near_dup_pairs": dedup.jaccard_near_dup_pairs_sql(),
+        "simhash16": dedup.SIMHASH16_SQL,
+        "ann_topk_cosine": similarity.brute_force_topk_sql(),
+        "ann_topk_lsh": similarity.lsh_bucket_topk_sql(),
+    }

@@ -60,6 +60,7 @@ def spans_from_documents(
     sf_dir: str,
     num_partitions: Optional[int] = None,
     limit: Optional[int] = None,
+    replicate: int = 1,
 ) -> DataFrame:
     """Derive the deterministic span corpus from ``documents.parquet``.
 
@@ -67,6 +68,11 @@ def spans_from_documents(
     scan. The repartition gives the downstream CPU-bound kernel ~4
     waves per core (the tiny source parquet is a single split, which
     would otherwise serialize the whole pipeline on one task).
+
+    ``replicate`` scales the corpus deterministically for benchmarks:
+    source doc ``d`` spawns docs ``d*replicate .. d*replicate+r-1``,
+    preserving the generator's giant-doc fraction and keeping every
+    doc_id's content a pure function of ``(doc_id, source text)``.
     """
     docs = spark.read.parquet(f"{sf_dir.rstrip('/')}/documents.parquet").select(
         "doc_id", "text"
@@ -81,10 +87,11 @@ def spans_from_documents(
         from deepdoc_api_spark.datagen import doc_id_str, gen_doc_spans
 
         for pdf in batches:
-            rows = [
-                (doc_id_str(int(d)), gen_doc_spans(int(d), t or ""))
-                for d, t in zip(pdf["doc_id"], pdf["text"])
-            ]
+            rows = []
+            for d, t in zip(pdf["doc_id"], pdf["text"]):
+                for r in range(replicate):
+                    did = int(d) * replicate + r
+                    rows.append((doc_id_str(did), gen_doc_spans(did, t or "")))
             if rows:
                 yield pd.DataFrame(rows, columns=["doc_id", "spans"])
 

@@ -1,0 +1,330 @@
+"""Deduplication ops: exact, MinHash+LSH, n-gram Jaccard, SimHash.
+
+All JVM-side column expressions (array lambdas, no Python UDFs). The
+hash family is the md5-prefix bigint (``conv(substr(md5(x),1,8),16,10)``)
+— identical in DuckDB as ``('0x'||substr(md5(x),1,8))::BIGINT`` —
+chosen over ``xxhash64`` because the oracle engine must reproduce it.
+
+Scale notes (the 100 TB story):
+
+* exact dedup is one shuffle on the 32-hex fingerprint;
+* MinHash signatures are computed per-row with ``array_min`` over the
+  shingle array — NO explode, NO shuffle until the band-bucket join;
+* the LSH band join shuffles only (doc_id, band_sig) pairs — tiny vs
+  the corpus — and AQE's skew-join splitting covers hot buckets;
+* the Jaccard verify runs only on LSH candidates (never all-pairs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+N_HASHES = 8
+BAND_ROWS = 2  # 4 bands × 2 rows
+#: frequent-band suppression: a band bucket holding more docs than this
+#: is a stop-shingle artifact (near-useless for dedup, quadratic in
+#: candidates) and is skipped by the pair join — standard LSH practice
+#: and the skew guard for the candidate self-join at corpus scale.
+MAX_BUCKET_DOCS = 64
+
+# NB: rows reaching this expression are pre-filtered to size(w) >= 3
+# with a cheap predicate on w — filtering on size(g) AFTER building the
+# shingle array would re-evaluate the whole transform chain inside the
+# predicate (measured 20×+ slowdown); Spark's sequence(1, 0) would also
+# descend ([1, 0]) for short docs. DuckDB's range() is end-exclusive,
+# so its guard lives in the WHERE len(g) > 0 of the oracle.
+_SHINGLES_EXPR = (
+    "transform(sequence(1, size(w) - 2), "
+    "i -> concat_ws(' ', element_at(w, i), element_at(w, i+1), element_at(w, i+2)))"
+)
+
+_SHINGLES_SQL = (
+    "list_transform(range(1, greatest(len(w) - 2, 0) + 1), "
+    "i -> concat(w[i], ' ', w[i+1], ' ', w[i+2]))"
+)
+
+
+def _hash_expr(k: int, var: str = "g") -> str:
+    return (
+        f"cast(conv(substr(md5(concat('{k}:', {var})), 1, 8), 16, 10) as bigint)"
+    )
+
+
+def _hash_sql(k: int, var: str = "g") -> str:
+    return f"('0x' || substr(md5('{k}:' || {var}), 1, 8))::BIGINT"
+
+
+# MinHash hash family: two md5 digests per shingle, split into 4
+# non-overlapping 32-bit windows each → N_HASHES=8 independent hashes
+# for a quarter of the digest cost (md5 dominates; the window extracts
+# are cheap). Window k covers hex chars [8k+1, 8k+8] of the 64-hex
+# concatenated digest. Both engines implement the identical scheme.
+_DIGESTS_EXPR = (
+    "transform(g, x -> concat(md5(concat('0:', x)), md5(concat('1:', x))))"
+)
+_DIGESTS_SQL = "list_transform(g, x -> md5('0:' || x) || md5('1:' || x))"
+
+
+def _window_expr(k: int) -> str:
+    return f"cast(conv(substr(d, {8 * k + 1}, 8), 16, 10) as bigint)"
+
+
+def _window_sql(k: int) -> str:
+    return f"('0x' || substr(d, {8 * k + 1}, 8))::BIGINT"
+
+
+def _docs_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the test parquet is a single split; spread the CPU-bound hashing
+    # (on a lake-scale table the scan itself provides the splits)
+    n = spark.sparkContext.defaultParallelism * 2
+    return (
+        spark.read.parquet(f"{sf_dir.rstrip('/')}/documents.parquet")
+        .repartition(n, "doc_id")
+        .selectExpr("doc_id", "split(trim(lower(text)), '\\\\s+') as w")
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-groupBy exact dedup: every doc labeled with its content
+    fingerprint, the group's keeper (min doc_id) and dup flag."""
+    docs = spark.read.parquet(f"{sf_dir.rstrip('/')}/documents.parquet")
+    fp = docs.selectExpr("doc_id", "md5(lower(trim(text))) as fp")
+    keepers = fp.groupBy("fp").agg(
+        F.min("doc_id").alias("keeper"), F.count("*").alias("group_size")
+    )
+    return (
+        fp.join(keepers, "fp")
+        .selectExpr(
+            "doc_id",
+            "fp",
+            "keeper",
+            "cast(group_size as bigint) as group_size",
+            "cast(doc_id != keeper as boolean) as is_dup",
+        )
+    )
+
+
+EXACT_DEDUP_SQL = """
+WITH fp AS (SELECT doc_id, md5(lower(trim(text))) AS fp FROM documents),
+k AS (SELECT fp, min(doc_id) AS keeper, count(*) AS group_size FROM fp GROUP BY fp)
+SELECT f.doc_id, f.fp, k.keeper, k.group_size::BIGINT AS group_size,
+       (f.doc_id != k.keeper) AS is_dup
+FROM fp f JOIN k USING (fp)
+"""
+
+
+# ---------------------------------------------------------------------------
+# MinHash signatures + LSH band buckets
+# ---------------------------------------------------------------------------
+
+
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc MinHash signature over word 3-gram shingles.
+
+    ``array_min(transform(shingles, h_k))`` per hash function — stays
+    inside whole-stage codegen, one row in → one row out, no shuffle.
+    """
+    mh = [
+        f"array_min(transform(dg, d -> {_window_expr(k)})) as mh{k}"
+        for k in range(N_HASHES)
+    ]
+    return (
+        _docs_words(spark, sf_dir)
+        .filter("size(w) >= 3")  # cheap predicate; pushed below the shuffle
+        .selectExpr("doc_id", f"{_SHINGLES_EXPR} as g")
+        .selectExpr("doc_id", f"{_DIGESTS_EXPR} as dg")
+        .selectExpr("doc_id", *mh)
+    )
+
+
+_SIG_SQL_BODY = (
+    "t AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS w"
+    " FROM documents),\n"
+    f"s AS (SELECT doc_id, {_SHINGLES_SQL} AS g FROM t),\n"
+    f"dgs AS (SELECT doc_id, {_DIGESTS_SQL} AS dg, g FROM s WHERE len(g) > 0),\n"
+    "sig AS (SELECT doc_id, "
+    + ", ".join(
+        f"list_aggregate(list_transform(dg, d -> {_window_sql(k)}), 'min') AS mh{k}"
+        for k in range(N_HASHES)
+    )
+    + " FROM dgs)"
+)
+
+MINHASH_SIGNATURES_SQL = f"WITH {_SIG_SQL_BODY}\nSELECT * FROM sig"
+
+
+def _all_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, band, band_sig) — ONE signature computation per row,
+    bands fanned out with a single explode (a per-band union would
+    re-evaluate the md5 minhash subplan once per band)."""
+    sig = minhash_signatures(spark, sf_dir)
+    structs = ", ".join(
+        "named_struct('band', {b}, 'band_sig', {cols})".format(
+            b=b,
+            cols="||':'||".join(
+                f"cast(mh{b * BAND_ROWS + r} as string)" for r in range(BAND_ROWS)
+            ),
+        )
+        for b in range(N_HASHES // BAND_ROWS)
+    )
+    return sig.selectExpr(
+        "doc_id", f"explode(array({structs})) as bb"
+    ).selectExpr("doc_id", "bb.band as band", "bb.band_sig as band_sig")
+
+
+def lsh_band_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH: band signature histogram — (band, band_sig) → n_docs.
+
+    Bands of ``BAND_ROWS`` minhashes; docs sharing a band signature are
+    near-dup candidates. Output is the bounded bucket histogram (the
+    candidate-pair join keys), not the O(n²) pair list.
+    """
+    return (
+        _all_bands(spark, sf_dir)
+        .groupBy("band", "band_sig")
+        .agg(F.count("*").alias("n_docs"))
+        .filter("n_docs > 1")
+        .selectExpr("cast(band as int) band", "band_sig", "cast(n_docs as bigint) n_docs")
+    )
+
+
+def _band_sql_selects() -> str:
+    parts = []
+    for b in range(N_HASHES // BAND_ROWS):
+        cols = " || ':' || ".join(
+            f"CAST(mh{b * BAND_ROWS + r} AS VARCHAR)" for r in range(BAND_ROWS)
+        )
+        parts.append(f"SELECT doc_id, {b} AS band, {cols} AS band_sig FROM sig")
+    return " UNION ALL ".join(parts)
+
+
+LSH_BAND_BUCKETS_SQL = (
+    f"WITH {_SIG_SQL_BODY},\n"
+    "bands AS (" + _band_sql_selects() + ")\n"
+    "SELECT band::INTEGER AS band, band_sig, count(*)::BIGINT AS n_docs\n"
+    "FROM bands GROUP BY band, band_sig HAVING count(*) > 1"
+)
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard near-dup pairs (LSH candidates → exact verify)
+# ---------------------------------------------------------------------------
+
+
+def jaccard_near_dup_pairs(
+    spark: SparkSession, sf_dir: str, threshold_milli: int = 500
+) -> DataFrame:
+    """Near-dup pairs: LSH candidates verified by exact 3-gram Jaccard.
+
+    Join is on band signatures (tiny keys); the Jaccard compare uses
+    ``array_intersect``/``array_union`` on the deduped shingle arrays.
+    """
+    grams = (
+        _docs_words(spark, sf_dir)
+        .filter("size(w) >= 3")
+        .selectExpr("doc_id", f"array_distinct({_SHINGLES_EXPR}) as gs")
+    )
+    all_bands = _all_bands(spark, sf_dir)
+    # frequent-band suppression (skew guard): drop mega-buckets before
+    # the self-join — the broadcastable small-bucket list drives the join
+    ok_buckets = (
+        all_bands.groupBy("band", "band_sig")
+        .agg(F.count("*").alias("n_docs"))
+        .filter(F.col("n_docs") <= MAX_BUCKET_DOCS)
+        .select("band", "band_sig")
+    )
+    pruned = all_bands.join(F.broadcast(ok_buckets), ["band", "band_sig"])
+    cands = (
+        pruned.alias("a")
+        .join(pruned.alias("b"), ["band", "band_sig"])
+        .filter("a.doc_id < b.doc_id")
+        .selectExpr("a.doc_id as doc_a", "b.doc_id as doc_b")
+        .distinct()
+    )
+    joined = (
+        cands.join(grams.selectExpr("doc_id as doc_a", "gs as ga"), "doc_a")
+        .join(grams.selectExpr("doc_id as doc_b", "gs as gb"), "doc_b")
+        .selectExpr(
+            "doc_a",
+            "doc_b",
+            "cast(floor(1000.0 * size(array_intersect(ga, gb)) /"
+            " greatest(size(array_union(ga, gb)), 1)) as bigint) as jaccard_milli",
+        )
+    )
+    return joined.filter(F.col("jaccard_milli") >= threshold_milli).select(
+        "doc_a", "doc_b", "jaccard_milli"
+    )
+
+
+def jaccard_near_dup_pairs_sql(threshold_milli: int = 500) -> str:
+    return (
+        f"WITH {_SIG_SQL_BODY},\n"
+        "gr AS (SELECT doc_id, list_distinct(g) AS gs FROM s WHERE len(g) > 0),\n"
+        "bands AS (" + _band_sql_selects() + "),\n"
+        "ok AS (SELECT band, band_sig FROM bands GROUP BY band, band_sig"
+        f" HAVING count(*) <= {MAX_BUCKET_DOCS}),\n"
+        "pruned AS (SELECT bands.* FROM bands JOIN ok USING (band, band_sig)),\n"
+        "cands AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b\n"
+        "          FROM pruned a JOIN pruned b ON a.band_sig = b.band_sig"
+        " AND a.band = b.band AND a.doc_id < b.doc_id)\n"
+        "SELECT doc_a, doc_b,\n"
+        "  CAST(floor(1000.0 * len(list_intersect(ga.gs, gb.gs)) /\n"
+        "       greatest(len(list_distinct(ga.gs || gb.gs)), 1)) AS BIGINT)"
+        " AS jaccard_milli\n"
+        "FROM cands JOIN gr ga ON ga.doc_id = doc_a JOIN gr gb ON gb.doc_id = doc_b\n"
+        f"WHERE CAST(floor(1000.0 * len(list_intersect(ga.gs, gb.gs)) /\n"
+        "       greatest(len(list_distinct(ga.gs || gb.gs)), 1)) AS BIGINT)"
+        f" >= {threshold_milli}"
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash (16-bit)
+# ---------------------------------------------------------------------------
+
+
+def simhash16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash over distinct words: bit i is the sign of the sum
+    of (2·bit_i(h(w)) − 1) across words."""
+    words = _docs_words(spark, sf_dir).selectExpr(
+        "doc_id", "array_distinct(w) as dw"
+    )
+    h = _hash_expr(0, "x")
+    bit_sums = [
+        f"aggregate(dw, cast(0 as bigint), (acc, x) ->"
+        f" acc + (cast(({h} >> {i}) & 1 as bigint) * 2 - 1)) as b{i}"
+        for i in range(16)
+    ]
+    folded = " + ".join(
+        f"(case when b{i} >= 0 then {1 << i} else 0 end)"
+        for i in range(16)
+    )
+    return (
+        words.selectExpr("doc_id", *bit_sums)
+        .selectExpr("doc_id", f"cast({folded} as bigint) as simhash")
+    )
+
+
+SIMHASH16_SQL = (
+    "WITH t AS (SELECT doc_id,"
+    " list_distinct(regexp_split_to_array(trim(lower(text)), '\\s+')) AS dw"
+    " FROM documents),\n"
+    "b AS (SELECT doc_id, "
+    + ", ".join(
+        "list_sum(list_transform(dw, x -> "
+        f"(({_hash_sql(0, 'x')} >> {i}) & 1) * 2 - 1))::BIGINT AS b{i}"
+        for i in range(16)
+    )
+    + " FROM t)\n"
+    "SELECT doc_id, CAST("
+    + " + ".join(
+        f"(CASE WHEN b{i} >= 0 THEN {1 << i} ELSE 0 END)" for i in range(16)
+    )
+    + " AS BIGINT) AS simhash FROM b"
+)

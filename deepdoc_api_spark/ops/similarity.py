@@ -1,0 +1,205 @@
+"""Similarity search over the ``embeddings`` table.
+
+Brute-force cosine top-k is the exactness baseline; the LSH-bucketed
+variant (random-hyperplane signs derived from the md5 hash family) is
+the scale path — at 10^12 rows the bucket join prunes the candidate
+set by ~2^n_bits while the brute-force scan stays O(N) per query.
+
+Float discipline for the DuckDB oracle: embeddings are float32 on
+disk; both engines cast each element to double *before* multiplying
+(the product of two float32s is exact in double) and accumulate in
+index order, so cosine values are bit-identical; outputs are scaled
+ints (``sim_micro = floor(1e6·cos)``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+DEFAULT_K = 5
+DEFAULT_N_QUERIES = 8
+LSH_BITS = 8
+
+_DOT = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> cast(x as double) * cast(y as double)),"
+    " cast(0.0 as double), (acc, v) -> acc + v)"
+)
+_NORM = (
+    "sqrt(aggregate({a}, cast(0.0 as double),"
+    " (acc, x) -> acc + cast(x as double) * cast(x as double)))"
+)
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # single-split test parquet → spread the vector math
+    n = spark.sparkContext.defaultParallelism * 2
+    return spark.read.parquet(
+        f"{sf_dir.rstrip('/')}/embeddings.parquet"
+    ).repartition(n, "vec_id")
+
+
+def brute_force_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = DEFAULT_K,
+    n_queries: int = DEFAULT_N_QUERIES,
+) -> DataFrame:
+    """Exact cosine top-k: broadcast the (tiny) query side against the
+    full table — a map-side-only scan, no shuffle until the final
+    per-query top-k aggregation."""
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < n_queries).selectExpr(
+        "vec_id as qid", "embedding as q"
+    )
+    dot = _DOT.format(a="embedding", b="q")
+    na = _NORM.format(a="embedding")
+    nb = _NORM.format(a="q")
+    scored = (
+        emb.join(F.broadcast(queries))
+        .filter("vec_id != qid")
+        .selectExpr(
+            "qid",
+            "vec_id",
+            f"cast(floor({dot} / ({na} * {nb}) * 1000000) as bigint) as sim_micro",
+        )
+    )
+    return (
+        scored.withColumn(
+            "rank",
+            F.expr(
+                "row_number() over (partition by qid"
+                " order by sim_micro desc, vec_id asc)"
+            ),
+        )
+        .filter(F.col("rank") <= k)
+        .selectExpr("qid", "vec_id", "cast(rank as int) rank", "sim_micro")
+    )
+
+
+def brute_force_topk_sql(k: int = DEFAULT_K, n_queries: int = DEFAULT_N_QUERIES) -> str:
+    return f"""
+WITH q AS (SELECT vec_id AS qid, embedding AS q FROM embeddings WHERE vec_id < {n_queries}),
+scored AS (
+  SELECT q.qid, e.vec_id,
+    CAST(floor(
+      list_sum(list_transform(range(1, len(e.embedding) + 1),
+               i -> e.embedding[i]::DOUBLE * q.q[i]::DOUBLE))
+      / (sqrt(list_sum(list_transform(e.embedding, x -> x::DOUBLE * x::DOUBLE)))
+         * sqrt(list_sum(list_transform(q.q, x -> x::DOUBLE * x::DOUBLE))))
+      * 1000000) AS BIGINT) AS sim_micro
+  FROM embeddings e, q WHERE e.vec_id != q.qid
+),
+ranked AS (
+  SELECT qid, vec_id, sim_micro,
+         row_number() OVER (PARTITION BY qid ORDER BY sim_micro DESC, vec_id ASC)
+           AS rank
+  FROM scored
+)
+SELECT qid, vec_id, rank::INTEGER AS rank, sim_micro FROM ranked WHERE rank <= {k}
+"""
+
+
+def _hyperplane_sign_expr(bit: int) -> str:
+    """±1 sign of pseudo-random hyperplane component j for dim i, from
+    the md5 hash family (deterministic, engine-portable)."""
+    return (
+        f"(cast(conv(substr(md5(concat('hp{bit}:', cast(i as string))), 1, 8),"
+        " 16, 10) as bigint) % 2) * 2 - 1"
+    )
+
+
+def lsh_bucket_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = DEFAULT_K,
+    n_queries: int = DEFAULT_N_QUERIES,
+    n_bits: int = LSH_BITS,
+) -> DataFrame:
+    """Approximate top-k: random-hyperplane LSH bucket join.
+
+    Each vector gets an ``n_bits`` signature (sign of dot with ±1
+    hyperplanes); candidates = vectors sharing the query's bucket;
+    exact cosine re-rank within the bucket. At scale the join is on the
+    signature key — the brute-force O(N·Q) scan becomes O(N·Q/2^bits).
+    """
+    emb = _emb(spark, sf_dir)
+
+    def bit_expr(b: int) -> str:
+        return (
+            "case when aggregate(zip_with(embedding,"
+            f" transform(sequence(1, size(embedding)), i -> {_hyperplane_sign_expr(b)}),"
+            " (x, s) -> cast(x as double) * s), cast(0.0 as double),"
+            f" (acc, v) -> acc + v) >= 0 then {1 << b} else 0 end"
+        )
+
+    sig = " + ".join(bit_expr(b) for b in range(n_bits))
+    signed = emb.selectExpr("vec_id", "embedding", f"cast({sig} as int) as bucket")
+    queries = signed.filter(F.col("vec_id") < n_queries).selectExpr(
+        "vec_id as qid", "embedding as q", "bucket"
+    )
+    dot = _DOT.format(a="embedding", b="q")
+    na = _NORM.format(a="embedding")
+    nb = _NORM.format(a="q")
+    scored = (
+        signed.join(F.broadcast(queries), "bucket")
+        .filter("vec_id != qid")
+        .selectExpr(
+            "qid",
+            "vec_id",
+            f"cast(floor({dot} / ({na} * {nb}) * 1000000) as bigint) as sim_micro",
+        )
+    )
+    return (
+        scored.withColumn(
+            "rank",
+            F.expr(
+                "row_number() over (partition by qid"
+                " order by sim_micro desc, vec_id asc)"
+            ),
+        )
+        .filter(F.col("rank") <= k)
+        .selectExpr("qid", "vec_id", "cast(rank as int) rank", "sim_micro")
+    )
+
+
+def lsh_bucket_topk_sql(
+    k: int = DEFAULT_K, n_queries: int = DEFAULT_N_QUERIES, n_bits: int = LSH_BITS
+) -> str:
+    def sign_sql(b: int) -> str:
+        return (
+            f"(('0x' || substr(md5('hp{b}:' || CAST(i AS VARCHAR)), 1, 8))::BIGINT"
+            " % 2) * 2 - 1"
+        )
+
+    def bit_sql(b: int) -> str:
+        return (
+            "(CASE WHEN list_sum(list_transform(range(1, len(embedding) + 1),"
+            f" i -> embedding[i]::DOUBLE * ({sign_sql(b)}))) >= 0"
+            f" THEN {1 << b} ELSE 0 END)"
+        )
+
+    sig = " + ".join(bit_sql(b) for b in range(n_bits))
+    return f"""
+WITH signed AS (
+  SELECT vec_id, embedding, CAST({sig} AS INTEGER) AS bucket FROM embeddings
+),
+q AS (SELECT vec_id AS qid, embedding AS q, bucket FROM signed WHERE vec_id < {n_queries}),
+scored AS (
+  SELECT q.qid, e.vec_id,
+    CAST(floor(
+      list_sum(list_transform(range(1, len(e.embedding) + 1),
+               i -> e.embedding[i]::DOUBLE * q.q[i]::DOUBLE))
+      / (sqrt(list_sum(list_transform(e.embedding, x -> x::DOUBLE * x::DOUBLE)))
+         * sqrt(list_sum(list_transform(q.q, x -> x::DOUBLE * x::DOUBLE))))
+      * 1000000) AS BIGINT) AS sim_micro
+  FROM signed e JOIN q USING (bucket) WHERE e.vec_id != q.qid
+),
+ranked AS (
+  SELECT qid, vec_id, sim_micro,
+         row_number() OVER (PARTITION BY qid ORDER BY sim_micro DESC, vec_id ASC)
+           AS rank
+  FROM scored
+)
+SELECT qid, vec_id, rank::INTEGER AS rank, sim_micro FROM ranked WHERE rank <= {k}
+"""

@@ -1,0 +1,87 @@
+"""Replicates the driver's correctness gate: run each queries() entry on
+Spark and its oracle_sql() on DuckDB over the same parquet tables;
+compare row count, column names, and order-insensitive values."""
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entry_mod
+
+ORACLE_KEYS = sorted(entry_mod.oracle_sql().keys())
+
+
+def _duck(sf_dir):
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings"
+    ).split():
+        try:
+            con.execute(
+                f"create view {t} as select * from"
+                f" read_parquet('{sf_dir}/{t}.parquet')"
+            )
+        except Exception:
+            pass
+    return con
+
+
+def _norm(v):
+    # DuckDB returns Decimal for some integer aggs; normalize numerics
+    if isinstance(v, bool):
+        return v
+    if isinstance(v, float) and v.is_integer():
+        return int(v)
+    try:
+        import decimal
+
+        if isinstance(v, decimal.Decimal):
+            return int(v) if v == int(v) else float(v)
+    except Exception:
+        pass
+    return v
+
+
+@pytest.mark.parametrize("name", ORACLE_KEYS)
+def test_query_matches_oracle(spark, sf_dir, name):
+    q = entry_mod.queries()[name]
+    sdf = q(spark, sf_dir)
+    srows = [tuple(_norm(v) for v in row) for row in sdf.collect()]
+    scols = sdf.columns
+
+    con = _duck(sf_dir)
+    res = con.execute(entry_mod.oracle_sql()[name])
+    dcols = [d[0] for d in res.description]
+    drows = [tuple(_norm(v) for v in row) for row in res.fetchall()]
+
+    assert scols == dcols, f"{name}: column mismatch {scols} vs {dcols}"
+    assert len(srows) == len(drows), f"{name}: row count {len(srows)} vs {len(drows)}"
+    assert sorted(srows) == sorted(drows), f"{name}: value mismatch"
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    assert df.count() > 0
+    assert "doc_id" in df.columns and "chunk_index" in df.columns
+
+
+def test_rows_only_queries_run(spark, sf_dir):
+    qs = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    rows_only = [k for k in qs if k not in oracles]
+    # keep the slow full-pipeline ones to a spot-check subset
+    spot = [
+        k
+        for k in rows_only
+        if k
+        in (
+            "chunk_stats_per_doc",
+            "span_kind_histogram",
+            "media_features",
+            "media_kind_histogram",
+            "extract_chunks_toc",
+        )
+    ]
+    for k in spot:
+        n = qs[k](spark, sf_dir).count()
+        assert n >= 0, k
