@@ -1,0 +1,23 @@
+PY ?= python
+
+.PHONY: test package bench scaling smoke
+
+test:
+	$(PY) -m pytest tests/ -x -q
+
+package:
+	mkdir -p dist
+	$(PY) -c "from deepdoc_api_spark.job.session import build_py_files_zip; \
+import shutil; p = build_py_files_zip(); shutil.copy(p, 'dist/deepdoc_api_spark.zip'); \
+print('dist/deepdoc_api_spark.zip')"
+
+bench:
+	$(PY) bench.py
+
+scaling:
+	$(PY) bench.py --scaling --replicate 8
+
+smoke: package
+	spark-submit --master "local[8]" --py-files dist/deepdoc_api_spark.zip \
+		run_job.py --generate-from /root/testdata/sf0.001 \
+		--output /tmp/ddspark_smoke --run-id smoke --buckets 16

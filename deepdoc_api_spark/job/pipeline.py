@@ -204,8 +204,27 @@ def chunk_documents(
     token_budget: int = 512,
     skew_threshold: int = DEFAULT_SKEW_THRESHOLD,
     shard_spans: int = SHARD_SPANS,
+    skew_strategy: str = "isolate",
 ) -> DataFrame:
-    """spans table → chunks table (declarative; caller triggers action)."""
+    """spans table → chunks table (declarative; caller triggers action).
+
+    ``skew_strategy`` for docs above ``skew_threshold`` spans:
+
+    * ``"isolate"`` (default): repartition giants one-doc-per-task and
+      run the same fused kernel — zero extra shuffle. Measured best for
+      giants up to ~10^5 spans: at sf0.1×8 the shard path spent as much
+      wall time on 0.1% of docs as on the other 99.9% (two full-text
+      shuffles + a pandas re-sort), while isolation costs only the
+      kernel itself.
+    * ``"shard"``: posexplode → per-span extraction shards → groupBy
+      reassembly. The right tool once a SINGLE document's extraction
+      exceeds what one task should hold (≳10^6 spans) — it trades two
+      shuffles of the doc's text for span-level parallelism.
+
+    Both strategies produce byte-identical chunks (tested).
+    """
+    spark = spans_df.sparkSession
+    n_parts = spark.sparkContext.defaultParallelism * 2
     src = spans_df.select("doc_id", "spans")
     n_spans = F.size(F.col("spans"))
 
@@ -216,6 +235,19 @@ def chunk_documents(
         _fused_kernel(chunker_type, token_budget), CHUNK_DDL
     )
 
+    if skew_strategy == "isolate":
+        giant_chunks = giant.repartition(n_parts, "doc_id").mapInPandas(
+            _fused_kernel(chunker_type, token_budget), CHUNK_DDL
+        )
+        return small_chunks.unionByName(giant_chunks)
+
+    # --- shard strategy ---
+    # Both skew-path exchanges carry EXPLICIT partition counts: with a
+    # bare repartition-by-column AQE coalesces the small-byte shuffles
+    # into a handful of partitions, serializing the per-document chunk
+    # pass (measured: a ~15 s straggler tail at local[32] that capped
+    # scaling efficiency at 0.41). Chunking cost is per-DOC CPU, not
+    # bytes — AQE's size heuristic is the wrong objective here.
     exploded = (
         giant.select("doc_id", F.posexplode("spans").alias("pos", "span"))
         .select(
@@ -228,12 +260,14 @@ def chunk_documents(
         )
         # spread one giant doc's spans over many tasks
         .repartition(
-            F.col("doc_id"), (F.col("pos") / F.lit(shard_spans)).cast("int")
+            n_parts, F.col("doc_id"), (F.col("pos") / F.lit(shard_spans)).cast("int")
         )
     )
     giant_records = exploded.mapInPandas(_extract_span_shards, _RECORD_RAW_DDL)
-    giant_chunks = giant_records.groupBy("doc_id").applyInPandas(
-        _assemble_group(chunker_type, token_budget), CHUNK_DDL
+    giant_chunks = (
+        giant_records.repartition(n_parts, "doc_id")
+        .groupBy("doc_id")
+        .applyInPandas(_assemble_group(chunker_type, token_budget), CHUNK_DDL)
     )
 
     return small_chunks.unionByName(giant_chunks)

@@ -83,18 +83,38 @@ def test_media_refs_preserved_inline(spark, sf_dir):
         assert all(ref in it for ref in want_refs), doc_id_str(d)
 
 
-def test_giant_doc_sharded_path_equals_fused(spark, sf_dir):
-    """Skew path: the same giant document must produce identical chunks
-    whether it goes through the fused kernel or the sharded
-    explode→extract→reassemble path."""
+def test_giant_doc_skew_paths_equal_fused(spark, sf_dir):
+    """Skew paths: the same documents must produce identical chunks via
+    the plain fused kernel, the isolate strategy, and the sharded
+    explode→extract→reassemble strategy."""
     spans = spans_from_documents(spark, sf_dir, num_partitions=8, limit=10)
-    # force-shard everything (threshold 1) vs never-shard (huge threshold)
-    sharded = chunk_documents(spans, "hybrid", skew_threshold=1, shard_spans=64)
-    fused = chunk_documents(spans, "hybrid", skew_threshold=10**9)
+    spans.cache()
     key = ["doc_id", "chunk_index", "kind", "text", "media_ref"]
-    a = sorted(map(tuple, sharded.select(*key).collect()))
-    b = sorted(map(tuple, fused.select(*key).collect()))
-    assert a == b
+    fused = sorted(
+        map(
+            tuple,
+            chunk_documents(spans, "hybrid", skew_threshold=10**9)
+            .select(*key)
+            .collect(),
+        )
+    )
+    for strategy in ("isolate", "shard"):
+        got = sorted(
+            map(
+                tuple,
+                chunk_documents(
+                    spans,
+                    "hybrid",
+                    skew_threshold=1,
+                    shard_spans=64,
+                    skew_strategy=strategy,
+                )
+                .select(*key)
+                .collect(),
+            )
+        )
+        assert got == fused, strategy
+    spans.unpersist()
 
 
 def test_chunk_index_dense_and_ordered(spark, sf_dir):
