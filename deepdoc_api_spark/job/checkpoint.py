@@ -151,7 +151,7 @@ def _writer_kernel(
                 st = per_bucket.setdefault(
                     b, {"rows": [], "docs": 0, "bytes": 0}
                 )
-                spans_list = [dict(s) for s in spans] if spans is not None else []
+                spans_list = spans if spans is not None else []
                 st["docs"] += 1
                 st["bytes"] += sum(len(s.get("text") or "") for s in spans_list)
                 st["rows"].extend(

@@ -110,9 +110,13 @@ def _fused_kernel(chunker_type: str, token_budget: int):
         for pdf in batches:
             rows = []
             for doc_id, spans in zip(pdf["doc_id"], pdf["spans"]):
-                spans_list = [dict(s) for s in spans] if spans is not None else []
                 rows.extend(
-                    chunk_document(doc_id, spans_list, chunker_type, token_budget)
+                    chunk_document(
+                        doc_id,
+                        spans if spans is not None else [],
+                        chunker_type,
+                        token_budget,
+                    )
                 )
             if rows:
                 yield pd.DataFrame(rows, columns=CHUNK_COLUMNS)

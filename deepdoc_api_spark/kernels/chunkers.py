@@ -62,6 +62,9 @@ def hierarchical_elements(
         ):
             prev = elements[-1]
             prev["text"] += "\n" + rec["content"]
+            # token counts are additive across whitespace joins (tokens
+            # never span a "\n"), so incremental bookkeeping is exact
+            prev["_tok"] += count_tokens(rec["content"])
             if rec["page"] not in prev["pages"]:
                 prev["pages"].append(rec["page"])
             continue
@@ -72,6 +75,7 @@ def hierarchical_elements(
                 "media_ref": rec["media_ref"],
                 "pages": [rec["page"]],
                 "headings": list(stack),
+                "_tok": count_tokens(rec["content"]) if kind != "media" else 0,
             }
         )
     return elements
@@ -120,7 +124,7 @@ def hierarchical_chunks(
 # ---------------------------------------------------------------------------
 
 
-def _split_oversized(el: Dict, budget: int) -> List[Dict]:
+def _split_oversized(el: Dict, budget: int, ctx_tokens: int) -> List[Dict]:
     """Split an element whose contextualized text exceeds the budget.
 
     Body is repacked greedily on whitespace word boundaries so that
@@ -128,25 +132,24 @@ def _split_oversized(el: Dict, budget: int) -> List[Dict]:
     joining uses single spaces (spec'd: only oversized elements are
     re-whitespaced).
     """
-    ctx_tokens = count_tokens("\n".join(el["headings"]))
     avail = max(budget - ctx_tokens, 32)
-    if count_tokens(el["text"]) <= avail:
+    if el["_tok"] <= avail:
         return [el]
-    pieces: List[str] = []
+    pieces: List[Dict] = []
     current: List[str] = []
     current_tokens = 0
     for word in el["text"].split():
         wt = count_tokens(word)
         if current and current_tokens + wt > avail:
-            pieces.append(" ".join(current))
+            pieces.append({**el, "text": " ".join(current), "_tok": current_tokens})
             current = [word]
             current_tokens = wt
         else:
             current.append(word)
             current_tokens += wt
     if current:
-        pieces.append(" ".join(current))
-    return [{**el, "text": piece} for piece in pieces]
+        pieces.append({**el, "text": " ".join(current), "_tok": current_tokens})
+    return pieces
 
 
 def hybrid_chunks(
@@ -158,28 +161,40 @@ def hybrid_chunks(
     peers while the merged contextualized text fits the budget."""
     elements = hierarchical_elements(records, pattern)
 
+    # heading-context token counts, cached per distinct stack object
+    # (token counts are additive across "\n" joins, so the context cost
+    # is the sum of heading counts — no re-tokenization of joined text)
+    ctx_cache: Dict[int, int] = {}
+
+    def ctx_tok(headings: List[str]) -> int:
+        key = id(headings)
+        v = ctx_cache.get(key)
+        if v is None:
+            v = sum(count_tokens(h) for h in headings)
+            ctx_cache[key] = v
+        return v
+
     split_elements: List[Dict] = []
     for el in elements:
         if el["kind"] == "media":
             split_elements.append(el)
         else:
-            split_elements.extend(_split_oversized(el, budget))
+            split_elements.extend(
+                _split_oversized(el, budget, ctx_tok(el["headings"]))
+            )
 
     merged: List[Dict] = []
     for el in split_elements:
         if (
             merged
             and el["kind"] != "media"
-            and merged[-1]["kind"] != "media"
+            and merged[-1]["kind"] == el["kind"]
             and merged[-1]["headings"] == el["headings"]
         ):
-            candidate = merged[-1]["text"] + "\n" + el["text"]
-            if (
-                count_tokens(contextualize(el["headings"], candidate))
-                <= budget
-            ):
-                prev = merged[-1]
-                prev["text"] = candidate
+            prev = merged[-1]
+            if ctx_tok(el["headings"]) + prev["_tok"] + el["_tok"] <= budget:
+                prev["text"] = prev["text"] + "\n" + el["text"]
+                prev["_tok"] += el["_tok"]
                 for p in el["pages"]:
                     if p not in prev["pages"]:
                         prev["pages"].append(p)
