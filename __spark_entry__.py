@@ -97,6 +97,15 @@ def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_media_features(media_catalog(spans), fake_decode=True)
 
 
+def _q_chunks_with_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deepdoc_api_spark.ops.embeddings import attach_embeddings
+
+    chunks = _pipeline_chunks(spark, sf_dir, "hybrid")
+    return attach_embeddings(chunks).select(
+        "doc_id", "chunk_index", "kind", "text", "media_ref", "embeddings"
+    )
+
+
 def _q_media_kind_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     from deepdoc_api_spark.job.pipeline import spans_from_documents
     from deepdoc_api_spark.job.session import ship_package
@@ -122,6 +131,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- multimodal plumbing (rows-only; decode is a spec'd stub)
         "media_features": _q_media_features,
         "media_kind_histogram": _q_media_kind_histogram,
+        # --- embedding attachment P8/P9 (rows-only; client is a spec'd stub)
+        "chunks_with_embeddings": _q_chunks_with_embeddings,
         # --- text analysis (DuckDB oracle)
         "token_count": text_analysis.token_count,
         "quality_score": text_analysis.quality_score,

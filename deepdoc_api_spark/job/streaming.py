@@ -1,0 +1,54 @@
+"""Incremental ingestion via Structured Streaming (Trigger.AvailableNow).
+
+The reference has no streaming semantics (jobs are one-shot batches,
+``app/main.py:302-508``); SURVEY §2.10 maps incremental re-runs to the
+checkpoint anti-join, with this module as the optional upgrade: the
+span table directory is consumed as a file stream, each micro-batch
+runs the SAME fused kernel plan, and Structured Streaming's source
+checkpoint replaces the bucket anti-join for exactly-once incremental
+processing — new span files appended between runs are processed
+exactly once, already-seen files never reprocessed.
+
+``Trigger.AvailableNow`` drains everything available and stops, so the
+job remains batch-shaped operationally (cron-able) while getting
+streaming's source bookkeeping. The same kernels serve both modes —
+no divergence to maintain.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+from ..schema import SPANS_SCHEMA
+from .pipeline import chunk_documents
+
+
+def run_available_now(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    chunker_type: str = "hybrid",
+    token_budget: int = 512,
+    max_files_per_trigger: int | None = None,
+) -> None:
+    """Drain all unprocessed span files into the chunk sink and stop.
+
+    Re-invoking after new files land processes only the delta (source
+    offsets live in ``checkpoint_dir``). Output is an append-only
+    parquet chunk table partition-committed by the streaming sink.
+    """
+    reader = (
+        spark.readStream.schema(SPANS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger or 1000)
+        .parquet(input_dir)
+    )
+    chunks = chunk_documents(reader, chunker_type, token_budget)
+    q = (
+        chunks.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
