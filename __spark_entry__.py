@@ -138,6 +138,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": text_analysis.quality_score,
         "lang_id": text_analysis.lang_id,
         "doc_fingerprint": text_analysis.fingerprint,
+        "length_histogram": text_analysis.length_histogram,
+        "embedding_norms": similarity.embedding_norms,
         # --- dedup (DuckDB oracle)
         "exact_dedup": dedup.exact_dedup,
         "minhash_signatures": dedup.minhash_signatures,
@@ -159,6 +161,8 @@ def oracle_sql() -> dict[str, str]:
         "quality_score": text_analysis.QUALITY_SCORE_SQL,
         "lang_id": text_analysis.LANG_ID_SQL,
         "doc_fingerprint": text_analysis.FINGERPRINT_SQL,
+        "length_histogram": text_analysis.LENGTH_HISTOGRAM_SQL,
+        "embedding_norms": similarity.EMBEDDING_NORMS_SQL,
         "exact_dedup": dedup.EXACT_DEDUP_SQL,
         "minhash_signatures": dedup.MINHASH_SIGNATURES_SQL,
         "lsh_band_buckets": dedup.LSH_BAND_BUCKETS_SQL,

@@ -100,6 +100,26 @@ SELECT qid, vec_id, rank::INTEGER AS rank, sim_micro FROM ranked WHERE rank <= {
 """
 
 
+def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector L2 norm (micro-scaled) — the vector-column hygiene
+    check a training pipeline runs before similarity work."""
+    n = _NORM.format(a="embedding")
+    return _emb(spark, sf_dir).selectExpr(
+        "vec_id",
+        "cast(size(embedding) as bigint) as dim",
+        f"cast(floor({n} * 1000000) as bigint) as norm_micro",
+    )
+
+
+EMBEDDING_NORMS_SQL = """
+SELECT vec_id,
+       len(embedding) AS dim,
+       CAST(floor(sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)))
+            * 1000000) AS BIGINT) AS norm_micro
+FROM embeddings
+"""
+
+
 def _hyperplane_sign_expr(bit: int) -> str:
     """±1 sign of pseudo-random hyperplane component j for dim i, from
     the md5 hash family (deterministic, engine-portable)."""

@@ -175,3 +175,25 @@ SELECT doc_id,
        ('0x' || substr(md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')), 1, 8))::BIGINT AS fp32
 FROM documents
 """
+
+
+# ---------------------------------------------------------------------------
+# corpus length histogram (bucketed — the A4 stats analogue over content)
+# ---------------------------------------------------------------------------
+
+
+def length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _docs(spark, sf_dir)
+        .selectExpr("cast(floor(length(text) / 100) * 100 as bigint) as len_bucket")
+        .groupBy("len_bucket")
+        .count()
+        .selectExpr("len_bucket", "cast(count as bigint) as n_docs")
+    )
+
+
+LENGTH_HISTOGRAM_SQL = """
+SELECT CAST(floor(length(text) / 100) * 100 AS BIGINT) AS len_bucket,
+       count(*)::BIGINT AS n_docs
+FROM documents GROUP BY 1
+"""
