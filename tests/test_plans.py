@@ -1,0 +1,125 @@
+"""Physical-plan shape tests: the properties that keep the engine fast
+at 100 TB must be visible in the plan, not just in wall-clock luck.
+
+Each test pins a plan invariant with `.explain`-style inspection:
+column pruning reaching the scan, broadcast joins for small sides,
+shuffle counts, and codegen coverage.
+"""
+
+from pyspark.sql import functions as F
+
+
+def plan_of(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_documents_scan_prunes_columns(spark, sf_dir):
+    """The pipeline reads only (doc_id, text) from documents.parquet —
+    lang/source/n_chars must not reach the scan."""
+    from deepdoc_api_spark.job.pipeline import spans_from_documents
+
+    plan = plan_of(spans_from_documents(spark, sf_dir))
+    scan = [seg for seg in plan.split("\n\n") if "ReadSchema" in seg][0]
+    assert "doc_id" in scan and "text" in scan
+    assert "n_chars" not in scan and "source" not in scan
+
+
+def test_ops_scan_prunes_columns(spark, sf_dir):
+    from deepdoc_api_spark.ops import dedup
+
+    plan = plan_of(dedup.minhash_signatures(spark, sf_dir))
+    scan = [seg for seg in plan.split("\n\n") if "ReadSchema" in seg][0]
+    assert "lang" not in scan and "n_chars" not in scan
+
+
+def test_minhash_has_no_extra_shuffle(spark, sf_dir):
+    """Signature computation is per-row: exactly one exchange (the
+    input spread of the single-split test parquet), nothing else."""
+    from deepdoc_api_spark.ops import dedup
+
+    import re
+
+    plan = plan_of(dedup.minhash_signatures(spark, sf_dir))
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 1
+
+
+def test_ann_broadcasts_query_side(spark, sf_dir):
+    from deepdoc_api_spark.ops import similarity
+
+    plan = plan_of(similarity.brute_force_topk(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    # the big side must NOT be exchanged for the join itself
+    assert "SortMergeJoin" not in plan
+
+
+def test_jaccard_prunes_with_broadcast(spark, sf_dir):
+    from deepdoc_api_spark.ops import dedup
+
+    plan = plan_of(dedup.jaccard_near_dup_pairs(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_small_doc_path_has_no_shuffle(spark, sf_dir):
+    """The fused kernel path must not shuffle: filter + mapInPandas
+    directly over the source (the explicit corpus repartition is the
+    only exchange)."""
+    from deepdoc_api_spark.job.pipeline import chunk_documents
+
+    import re
+
+    spans = spark.read.parquet("/tmp/plan_spans.parquet")
+    chunks = chunk_documents(spans, "hybrid", skew_threshold=10**9)
+    plan = plan_of(chunks)
+    # only the giant branch's explicit isolate repartition may exchange;
+    # the small-doc branch is scan -> filter -> MapInPandas, shuffle-free
+    exchanges = re.findall(r"^\(\d+\) Exchange\n(?:.*\n)*?Arguments: (.*)", plan, re.M)
+    assert len(exchanges) == 1 and "REPARTITION_BY_NUM" in exchanges[0]
+    assert "MapInPandas" in plan
+
+
+def test_quality_score_stays_in_codegen(spark, sf_dir):
+    from deepdoc_api_spark.ops import text_analysis
+
+    # AQE's pre-execution formatted plan carries no codegen ids; the
+    # load-bearing claim is that the plan is pure JVM expressions:
+    plan = plan_of(text_analysis.quality_score(spark, sf_dir))
+    assert "BatchEvalPython" not in plan  # no row-at-a-time Python anywhere
+    assert "ArrowEvalPython" not in plan  # no pandas UDFs either
+    assert "MapInPandas" not in plan
+    assert "Project" in plan  # expressions, not opaque functions
+
+
+def test_checkpoint_filter_pushes_down(spark, sf_dir, tmp_path):
+    """The resume anti-join at bucket granularity is a pushable filter."""
+    from deepdoc_api_spark.job.pipeline import spans_from_documents
+
+    spans_path = str(tmp_path / "s.parquet")
+    spans_from_documents(spark, sf_dir, num_partitions=4, limit=50).write.parquet(
+        spans_path
+    )
+    spans = spark.read.parquet(spans_path)
+    work = spans.withColumn(
+        "bucket", F.pmod(F.xxhash64("doc_id"), F.lit(8)).cast("int")
+    ).filter(~F.col("bucket").isin([0, 1]))
+    plan = plan_of(work)
+    # the bucket filter is computed, not pushed to parquet (derived col),
+    # but must run as a JVM expression filter before any exchange
+    assert "Filter" in plan and "BatchEvalPython" not in plan
+
+
+import pytest
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _plan_spans(spark, sf_dir):
+    import os
+
+    if not os.path.exists("/tmp/plan_spans.parquet"):
+        from deepdoc_api_spark.job.pipeline import spans_from_documents
+
+        spans_from_documents(spark, sf_dir, num_partitions=4, limit=20).write.mode(
+            "overwrite"
+        ).parquet("/tmp/plan_spans.parquet")
+    yield
