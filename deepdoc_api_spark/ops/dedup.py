@@ -291,14 +291,21 @@ def jaccard_near_dup_pairs_sql(threshold_milli: int = 500) -> str:
 
 def simhash16(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bit SimHash over distinct words: bit i is the sign of the sum
-    of (2·bit_i(h(w)) − 1) across words."""
+    of (2·bit_i(h(w)) − 1) across words.
+
+    The word-hash array is materialized ONCE in its own projection; the
+    16 bit-sum folds then traverse precomputed bigints (md5 per word
+    per bit would cost 16× the hashing).
+    """
     words = _docs_words(spark, sf_dir).selectExpr(
         "doc_id", "array_distinct(w) as dw"
     )
-    h = _hash_expr(0, "x")
+    hashes = words.selectExpr(
+        "doc_id", f"transform(dw, x -> {_hash_expr(0, 'x')}) as hs"
+    )
     bit_sums = [
-        f"aggregate(dw, cast(0 as bigint), (acc, x) ->"
-        f" acc + (cast(({h} >> {i}) & 1 as bigint) * 2 - 1)) as b{i}"
+        f"aggregate(hs, cast(0 as bigint), (acc, h) ->"
+        f" acc + ((h >> {i}) & 1) * 2 - 1) as b{i}"
         for i in range(16)
     ]
     folded = " + ".join(
@@ -306,7 +313,7 @@ def simhash16(spark: SparkSession, sf_dir: str) -> DataFrame:
         for i in range(16)
     )
     return (
-        words.selectExpr("doc_id", *bit_sums)
+        hashes.selectExpr("doc_id", *bit_sums)
         .selectExpr("doc_id", f"cast({folded} as bigint) as simhash")
     )
 
@@ -315,13 +322,13 @@ SIMHASH16_SQL = (
     "WITH t AS (SELECT doc_id,"
     " list_distinct(regexp_split_to_array(trim(lower(text)), '\\s+')) AS dw"
     " FROM documents),\n"
+    f"hs AS (SELECT doc_id, list_transform(dw, x -> {_hash_sql(0, 'x')}) AS hs FROM t),\n"
     "b AS (SELECT doc_id, "
     + ", ".join(
-        "list_sum(list_transform(dw, x -> "
-        f"(({_hash_sql(0, 'x')} >> {i}) & 1) * 2 - 1))::BIGINT AS b{i}"
+        f"list_sum(list_transform(hs, h -> ((h >> {i}) & 1) * 2 - 1))::BIGINT AS b{i}"
         for i in range(16)
     )
-    + " FROM t)\n"
+    + " FROM hs)\n"
     "SELECT doc_id, CAST("
     + " + ".join(
         f"(CASE WHEN b{i} >= 0 THEN {1 << i} ELSE 0 END)" for i in range(16)
