@@ -1,0 +1,203 @@
+"""Differential test: engine TOC kernel vs the reference TOCChunker.
+
+``/root/reference/app/toc_chunker.py`` depends on docling_core only for
+base classes and isinstance checks; stubbing those modules lets the
+REAL reference chunker run against fake document items. The engine's
+``kernels/toc.py`` then processes the equivalent record sequence and
+must produce identical sections and chunk texts.
+
+Known spec'd divergence held constant here: the reference reads header
+level from ``item.level`` (docling metadata); the engine derives it
+from dotted-numbering depth. The fake items carry levels computed by
+the engine's rule, so the comparison isolates everything else
+(continuation repair, dup removal incl. its mutation-in-loop behavior,
+same-number merge, gather cutoff, text assembly).
+"""
+
+import importlib.util
+import os
+import random
+import sys
+import types
+
+import pytest
+
+from deepdoc_api_spark.kernels.toc import _title_level, get_sections, toc_chunks
+
+REF_PATH = "/root/reference/app/toc_chunker.py"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(REF_PATH), reason="reference snapshot not available"
+)
+
+
+# --- docling_core stubs ----------------------------------------------------
+
+
+class _SectionHeaderItem:
+    def __init__(self, text, level, page_no):
+        self.text = text
+        self.level = level
+        self.prov = [types.SimpleNamespace(page_no=page_no)]
+
+
+class _TextItem:
+    def __init__(self, text):
+        self.text = text
+
+
+class _FakeDoc:
+    def __init__(self, items):
+        self.items = items
+
+    def iterate_items(self, with_groups=False):
+        for it in self.items:
+            yield it, 0
+
+
+class _BaseMeta:
+    def __init__(self, **kw):
+        for k, v in kw.items():
+            setattr(self, k, v)
+
+
+class _BaseChunk:
+    def __init__(self, text=None, meta=None):
+        self.text = text
+        self.meta = meta
+
+
+class _BaseChunker:
+    def __init__(self, *a, **kw):
+        pass
+
+
+def _field(default=None, **kw):
+    return default
+
+
+def _load_reference_tocchunker():
+    base = types.ModuleType("docling_core.transforms.chunker.base")
+    base.BaseChunk = _BaseChunk
+    base.BaseChunker = _BaseChunker
+    base.BaseMeta = _BaseMeta
+    doc_mod = types.ModuleType("docling_core.types.doc")
+    doc_mod.DoclingDocument = _FakeDoc
+    document_mod = types.ModuleType("docling_core.types.doc.document")
+    document_mod.SectionHeaderItem = _SectionHeaderItem
+    pyd = types.ModuleType("pydantic_stub")
+
+    mods = {
+        "docling_core": types.ModuleType("docling_core"),
+        "docling_core.transforms": types.ModuleType("docling_core.transforms"),
+        "docling_core.transforms.chunker": types.ModuleType(
+            "docling_core.transforms.chunker"
+        ),
+        "docling_core.transforms.chunker.base": base,
+        "docling_core.types": types.ModuleType("docling_core.types"),
+        "docling_core.types.doc": doc_mod,
+        "docling_core.types.doc.document": document_mod,
+    }
+    saved = {k: sys.modules.get(k) for k in list(mods) + ["pydantic"]}
+    sys.modules.update(mods)
+    # the reference uses pydantic.Field only for a class-attr default
+    pyd_real = sys.modules.get("pydantic")
+    pyd.Field = _field
+    sys.modules["pydantic"] = pyd
+    try:
+        spec = importlib.util.spec_from_file_location("ref_toc_chunker", REF_PATH)
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        return mod.TOCChunker()
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                sys.modules.pop(k, None)
+            else:
+                sys.modules[k] = v
+
+
+WORDS = ["alpha", "beta", "gamma", "delta", "sigma", "omega"]
+
+
+def _gen_sequence(rng: random.Random):
+    """Random (kind, text, page) sequence with dotted/bare headers,
+    repeated sections, continuations."""
+    items = []
+    counters = [0, 0, 0]
+    n = rng.randint(0, 25)
+    for _ in range(n):
+        page = rng.randint(1, 5)
+        r = rng.random()
+        if r < 0.4:
+            rr = rng.random()
+            if rr < 0.6:
+                depth = rng.randint(1, 3)
+                counters[depth - 1] += 1
+                for d in range(depth, 3):
+                    counters[d] = 0
+                num = ".".join(str(c) for c in counters[:depth])
+                name = f"{num} {' '.join(rng.choice(WORDS) for _ in range(rng.randint(1, 3))).title()}"
+            elif rr < 0.8:
+                name = " ".join(rng.choice(WORDS) for _ in range(2)).title()
+            else:
+                name = "References"  # repeated cleaned name -> dup removal
+            items.append(("title", name, page))
+        else:
+            items.append(
+                ("text", " ".join(rng.choice(WORDS) for _ in range(rng.randint(1, 10))), page)
+            )
+    return items
+
+
+def _to_fake_doc(items):
+    out = []
+    for kind, text, page in items:
+        if kind == "title":
+            out.append(_SectionHeaderItem(text, _title_level(text, r"^(\d+(?:\.\d+)*)"), page))
+        else:
+            out.append(_TextItem(text))
+    return _FakeDoc(out)
+
+
+def _to_records(items):
+    return [
+        {
+            "kind": kind,
+            "content": text,
+            "media_ref": "",
+            "page": page,
+            "offset": 0,
+        }
+        for kind, text, page in items
+    ]
+
+
+@pytest.mark.parametrize("seed", range(60))
+def test_toc_sections_and_chunks_match_reference(seed):
+    chunker = _load_reference_tocchunker()
+    # the stubbed Field collapses the pydantic default; restore pattern
+    chunker.section_pattern = r"^(\d+(?:\.\d+)*)"
+    rng = random.Random(f"toc-diff:{seed}")
+    items = _gen_sequence(rng)
+
+    ref_sections = chunker.get_sections(_to_fake_doc(items))
+    got_sections = get_sections(_to_records(items))
+
+    assert len(got_sections) == len(ref_sections), seed
+    for g, e in zip(got_sections, ref_sections):
+        assert g["name"] == e["name"], seed
+        # reference hierarchy holds SectionHeaderItem texts? No — it
+        # pushes raw header strings (toc_chunker.py:114); compare direct
+        assert list(g["hierarchy"]) == list(e["hierarchy"]), seed
+        assert g["page_no"] == e["page_no"], seed
+        assert g["level"] == e["level"], seed
+
+    ref_chunks = list(chunker.chunk(dl_doc=_to_fake_doc(items)))
+    got_chunks = toc_chunks(_to_records(items))
+    assert len(got_chunks) == len(ref_chunks), seed
+    for g, e in zip(got_chunks, ref_chunks):
+        assert g["text"] == e.text, seed
+        assert g["headings"] == e.meta.headings, seed
+        assert list(g["hierarchy"]) == list(e.meta.hierarchy), seed
+        assert g["pages"] == e.meta.pages, seed
