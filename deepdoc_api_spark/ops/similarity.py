@@ -120,13 +120,19 @@ FROM embeddings
 """
 
 
-def _hyperplane_sign_expr(bit: int) -> str:
-    """±1 sign of pseudo-random hyperplane component j for dim i, from
-    the md5 hash family (deterministic, engine-portable)."""
-    return (
-        f"(cast(conv(substr(md5(concat('hp{bit}:', cast(i as string))), 1, 8),"
-        " 16, 10) as bigint) % 2) * 2 - 1"
-    )
+def hyperplane_signs(bit: int, dim: int) -> list:
+    """±1 signs of pseudo-random hyperplane ``bit`` across ``dim``
+    components, derived from md5 — computed ONCE driver-side and
+    inlined as array literals into both engines' plans (hyperplanes are
+    constants; recomputing a hash per row per bit per dimension at
+    runtime was pure waste)."""
+    import hashlib
+
+    out = []
+    for i in range(1, dim + 1):
+        h = int(hashlib.md5(f"hp{bit}:{i}".encode()).hexdigest()[:8], 16)
+        out.append((h % 2) * 2 - 1)
+    return out
 
 
 def lsh_bucket_topk(
@@ -144,11 +150,16 @@ def lsh_bucket_topk(
     signature key — the brute-force O(N·Q) scan becomes O(N·Q/2^bits).
     """
     emb = _emb(spark, sf_dir)
+    dim = len(
+        spark.read.parquet(f"{sf_dir.rstrip('/')}/embeddings.parquet")
+        .select("embedding")
+        .first()[0]
+    )
 
     def bit_expr(b: int) -> str:
+        lits = ",".join(str(s) for s in hyperplane_signs(b, dim))
         return (
-            "case when aggregate(zip_with(embedding,"
-            f" transform(sequence(1, size(embedding)), i -> {_hyperplane_sign_expr(b)}),"
+            f"case when aggregate(zip_with(embedding, array({lits}),"
             " (x, s) -> cast(x as double) * s), cast(0.0 as double),"
             f" (acc, v) -> acc + v) >= 0 then {1 << b} else 0 end"
         )
@@ -184,18 +195,16 @@ def lsh_bucket_topk(
 
 
 def lsh_bucket_topk_sql(
-    k: int = DEFAULT_K, n_queries: int = DEFAULT_N_QUERIES, n_bits: int = LSH_BITS
+    k: int = DEFAULT_K,
+    n_queries: int = DEFAULT_N_QUERIES,
+    n_bits: int = LSH_BITS,
+    dim: int = 64,
 ) -> str:
-    def sign_sql(b: int) -> str:
-        return (
-            f"(('0x' || substr(md5('hp{b}:' || CAST(i AS VARCHAR)), 1, 8))::BIGINT"
-            " % 2) * 2 - 1"
-        )
-
     def bit_sql(b: int) -> str:
+        lits = ",".join(str(s) for s in hyperplane_signs(b, dim))
         return (
             "(CASE WHEN list_sum(list_transform(range(1, len(embedding) + 1),"
-            f" i -> embedding[i]::DOUBLE * ({sign_sql(b)}))) >= 0"
+            f" i -> embedding[i]::DOUBLE * ([{lits}][i]))) >= 0"
             f" THEN {1 << b} ELSE 0 END)"
         )
 

@@ -31,7 +31,7 @@ import sys
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    src = ap.add_mutually_exclusive_group(required=True)
+    src = ap.add_mutually_exclusive_group()
     src.add_argument("--input", help="span table path (parquet dir)")
     src.add_argument(
         "--generate-from",
@@ -47,6 +47,8 @@ def main() -> None:
     ap.add_argument("--status", action="store_true",
                     help="print progress table for --output and exit")
     args = ap.parse_args()
+    if not args.status and not (args.input or args.generate_from):
+        ap.error("one of --input / --generate-from is required (unless --status)")
 
     from pyspark.sql import SparkSession
 
