@@ -19,7 +19,6 @@ assembly) replicates ``app/processing.py:985-1023``. K6 replicates
 
 from __future__ import annotations
 
-import hashlib
 from typing import Dict, List, Optional
 
 from .layout import format_records, parse_page_label
@@ -340,9 +339,10 @@ def assemble_chunks(
     chunks dropped (media chunks exempt — spec extension), pages
     sorted/dedup'd with ``[1]`` fallback, ``chunk_size = len(text)``,
     ``chunk_overlap`` 0 unless the chunker set one. Divergence: ids are
-    deterministic ``sha1(doc_id:chunker:index)`` instead of ``uuid4``
-    (``app/processing.py:1560`` is non-reproducible by design; ids are
-    outside the equality tuple).
+    the deterministic composite ``doc_id:chunker:index`` instead of
+    ``uuid4`` (``app/processing.py:1560`` is non-reproducible by
+    design; ids are outside the equality tuple — and a readable
+    composite beats an opaque hash at zero hashing cost).
     """
     out: List[Dict] = []
     idx = 0
@@ -353,9 +353,7 @@ def assemble_chunks(
             continue
         pages = ch.get("pages") or []
         pages = sorted({int(p) for p in pages}) or [1]
-        chunk_id = hashlib.sha1(
-            f"{doc_id}:{chunker_type}:{idx}".encode("utf-8")
-        ).hexdigest()
+        chunk_id = f"{doc_id}:{chunker_type}:{idx}"
         out.append(
             {
                 "chunk_id": chunk_id,
