@@ -139,7 +139,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": text_analysis.lang_id,
         "doc_fingerprint": text_analysis.fingerprint,
         "length_histogram": text_analysis.length_histogram,
+        "rolling_fingerprint": text_analysis.rolling_fingerprint,
         "embedding_norms": similarity.embedding_norms,
+        "embedding_near_dup_pairs": similarity.embedding_near_dup_pairs,
         # --- dedup (DuckDB oracle)
         "exact_dedup": dedup.exact_dedup,
         "minhash_signatures": dedup.minhash_signatures,
@@ -162,7 +164,9 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": text_analysis.LANG_ID_SQL,
         "doc_fingerprint": text_analysis.FINGERPRINT_SQL,
         "length_histogram": text_analysis.LENGTH_HISTOGRAM_SQL,
+        "rolling_fingerprint": text_analysis.ROLLING_FINGERPRINT_SQL,
         "embedding_norms": similarity.EMBEDDING_NORMS_SQL,
+        "embedding_near_dup_pairs": similarity.embedding_near_dup_pairs_sql(),
         "exact_dedup": dedup.EXACT_DEDUP_SQL,
         "minhash_signatures": dedup.MINHASH_SIGNATURES_SQL,
         "lsh_band_buckets": dedup.LSH_BAND_BUCKETS_SQL,

@@ -194,6 +194,88 @@ def lsh_bucket_topk(
     )
 
 
+def embedding_near_dup_pairs(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold_micro: int = 500_000,
+    n_bits: int = 4,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs.
+
+    LSH-bucket the vectors (coarse, ``n_bits`` hyperplanes so near-dups
+    rarely straddle buckets), self-join within buckets, keep pairs with
+    cosine ≥ threshold. The bucket join bounds the candidate set; at
+    corpus scale this is the embedding-space analogue of the MinHash
+    text dedup.
+    """
+    emb = _emb(spark, sf_dir)
+    dim = len(
+        spark.read.parquet(f"{sf_dir.rstrip('/')}/embeddings.parquet")
+        .select("embedding")
+        .first()[0]
+    )
+
+    def bit_expr(b: int) -> str:
+        lits = ",".join(str(s) for s in hyperplane_signs(b, dim))
+        return (
+            f"case when aggregate(zip_with(embedding, array({lits}),"
+            " (x, s) -> cast(x as double) * s), cast(0.0 as double),"
+            f" (acc, v) -> acc + v) >= 0 then {1 << b} else 0 end"
+        )
+
+    sig = " + ".join(bit_expr(b) for b in range(n_bits))
+    signed = emb.selectExpr("vec_id", "embedding", f"cast({sig} as int) as bucket")
+    a = signed.selectExpr("vec_id as id_a", "embedding as ea", "bucket")
+    b = signed.selectExpr("vec_id as id_b", "embedding as eb", "bucket")
+    dot = _DOT.format(a="ea", b="eb")
+    na = _NORM.format(a="ea")
+    nb = _NORM.format(a="eb")
+    return (
+        a.join(b, "bucket")
+        .filter("id_a < id_b")
+        .selectExpr(
+            "id_a",
+            "id_b",
+            f"cast(floor({dot} / ({na} * {nb}) * 1000000) as bigint) as sim_micro",
+        )
+        .filter(F.col("sim_micro") >= threshold_micro)
+    )
+
+
+def embedding_near_dup_pairs_sql(
+    threshold_micro: int = 500_000, n_bits: int = 4, dim: int = 64
+) -> str:
+    def bit_sql(b: int) -> str:
+        lits = ",".join(str(s) for s in hyperplane_signs(b, dim))
+        return (
+            "(CASE WHEN list_sum(list_transform(range(1, len(embedding) + 1),"
+            f" i -> embedding[i]::DOUBLE * ([{lits}][i]))) >= 0"
+            f" THEN {1 << b} ELSE 0 END)"
+        )
+
+    sig = " + ".join(bit_sql(b) for b in range(n_bits))
+    return f"""
+WITH signed AS (
+  SELECT vec_id, embedding, CAST({sig} AS INTEGER) AS bucket FROM embeddings
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+  CAST(floor(
+    list_sum(list_transform(range(1, len(a.embedding) + 1),
+             i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
+    / (sqrt(list_sum(list_transform(a.embedding, x -> x::DOUBLE * x::DOUBLE)))
+       * sqrt(list_sum(list_transform(b.embedding, x -> x::DOUBLE * x::DOUBLE))))
+    * 1000000) AS BIGINT) AS sim_micro
+FROM signed a JOIN signed b USING (bucket)
+WHERE a.vec_id < b.vec_id
+  AND CAST(floor(
+    list_sum(list_transform(range(1, len(a.embedding) + 1),
+             i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
+    / (sqrt(list_sum(list_transform(a.embedding, x -> x::DOUBLE * x::DOUBLE)))
+       * sqrt(list_sum(list_transform(b.embedding, x -> x::DOUBLE * x::DOUBLE))))
+    * 1000000) AS BIGINT) >= {threshold_micro}
+"""
+
+
 def lsh_bucket_topk_sql(
     k: int = DEFAULT_K,
     n_queries: int = DEFAULT_N_QUERIES,

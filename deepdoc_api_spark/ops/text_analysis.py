@@ -197,3 +197,31 @@ SELECT CAST(floor(length(text) / 100) * 100 AS BIGINT) AS len_bucket,
        count(*)::BIGINT AS n_docs
 FROM documents GROUP BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# rolling-hash fingerprint (polynomial over characters, pure int math)
+# ---------------------------------------------------------------------------
+
+_ROLL_MOD = 2_147_483_647  # 2^31 - 1; acc*31 + c stays far inside bigint
+
+
+def rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polynomial rolling hash over the character sequence — the
+    classic content fingerprint; exact integer math so the oracle
+    reproduces it bit-for-bit."""
+    return _docs(spark, sf_dir).selectExpr(
+        "doc_id",
+        "aggregate(split(text, ''), cast(0 as bigint),"
+        f" (acc, c) -> (acc * 31 + ascii(c)) % {_ROLL_MOD}) as roll_hash",
+    )
+
+
+ROLLING_FINGERPRINT_SQL = f"""
+SELECT doc_id,
+       list_reduce(
+         list_prepend(0::BIGINT,
+           list_transform(string_split(text, ''), c -> ord(c)::BIGINT)),
+         (acc, c) -> (acc * 31 + c) % {_ROLL_MOD}) AS roll_hash
+FROM documents
+"""
