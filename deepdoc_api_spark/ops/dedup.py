@@ -318,8 +318,8 @@ def simhash16(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SIMHASH16_SQL = (
-    "WITH t AS (SELECT doc_id,"
+_SIMHASH_SQL_BODY = (
+    "t AS (SELECT doc_id,"
     " list_distinct(regexp_split_to_array(trim(lower(text)), '\\s+')) AS dw"
     " FROM documents),\n"
     f"hs AS (SELECT doc_id, list_transform(dw, x -> {_hash_sql(0, 'x')}) AS hs FROM t),\n"
@@ -328,10 +328,62 @@ SIMHASH16_SQL = (
         f"list_sum(list_transform(hs, h -> ((h >> {i}) & 1) * 2 - 1))::BIGINT AS b{i}"
         for i in range(16)
     )
-    + " FROM hs)\n"
-    "SELECT doc_id, CAST("
+    + " FROM hs),\n"
+    "sh AS (SELECT doc_id, CAST("
     + " + ".join(
         f"(CASE WHEN b{i} >= 0 THEN {1 << i} ELSE 0 END)" for i in range(16)
     )
-    + " AS BIGINT) AS simhash FROM b"
+    + " AS BIGINT) AS simhash FROM b)"
 )
+
+SIMHASH16_SQL = f"WITH {_SIMHASH_SQL_BODY}\nSELECT doc_id, simhash FROM sh"
+
+
+def simhash_near_dup_pairs(
+    spark: SparkSession, sf_dir: str, max_hamming: int = 3
+) -> DataFrame:
+    """SimHash near-dup pairs: Hamming distance ≤ ``max_hamming``.
+
+    Standard simhash blocking: split the 16-bit hash into two 8-bit
+    bands — any pair within Hamming ≤ 3 of a 16-bit hash CAN still
+    differ in both bands, so this is the usual recall/precision LSH
+    trade (documented); candidates sharing a band verify with
+    ``bit_count(xor)``. The band join keys are 256-ary → bounded
+    buckets at corpus scale.
+    """
+    sh = simhash16(spark, sf_dir)
+    bands = sh.selectExpr(
+        "doc_id",
+        "simhash",
+        # NB: ">>" inside array(...) trips Spark's parser (array< type
+        # syntax lookahead) — use shiftright()
+        "explode(array("
+        "named_struct('band', 0, 'key', simhash & 255),"
+        "named_struct('band', 1, 'key', shiftright(simhash, 8) & 255))) as bb",
+    ).selectExpr("doc_id", "simhash", "bb.band as band", "bb.key as key")
+    a = bands.selectExpr("doc_id as doc_a", "simhash as sa", "band", "key")
+    b = bands.selectExpr("doc_id as doc_b", "simhash as sb", "band", "key")
+    return (
+        a.join(b, ["band", "key"])
+        .filter("doc_a < doc_b")
+        .selectExpr(
+            "doc_a", "doc_b",
+            "cast(bit_count(sa ^ sb) as int) as hamming",
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def simhash_near_dup_pairs_sql(max_hamming: int = 3) -> str:
+    return (
+        f"WITH {_SIMHASH_SQL_BODY},\n"
+        "bands AS (SELECT doc_id, simhash, 0 AS band, simhash & 255 AS key FROM sh\n"
+        "          UNION ALL\n"
+        "          SELECT doc_id, simhash, 1 AS band, (simhash >> 8) & 255 AS key FROM sh)\n"
+        "SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,\n"
+        "       bit_count(xor(a.simhash, b.simhash))::INTEGER AS hamming\n"
+        "FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key"
+        " AND a.doc_id < b.doc_id\n"
+        f"WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}"
+    )
