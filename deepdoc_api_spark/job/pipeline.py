@@ -103,7 +103,7 @@ def spans_from_documents(
 # ---------------------------------------------------------------------------
 
 
-def _fused_kernel(chunker_type: str, token_budget: int):
+def _fused_kernel(chunker_type: str, token_budget: int, toc_params=None):
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from deepdoc_api_spark.kernels.pipeline import chunk_document
 
@@ -116,6 +116,7 @@ def _fused_kernel(chunker_type: str, token_budget: int):
                         spans if spans is not None else [],
                         chunker_type,
                         token_budget,
+                        toc_params=toc_params,
                     )
                 )
             if rows:
@@ -167,7 +168,7 @@ def _extract_span_shards(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFra
             )
 
 
-def _assemble_group(chunker_type: str, token_budget: int):
+def _assemble_group(chunker_type: str, token_budget: int, toc_params=None):
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
         from deepdoc_api_spark.kernels.pipeline import chunks_from_prepared
 
@@ -190,7 +191,7 @@ def _assemble_group(chunker_type: str, token_budget: int):
             if k != "_raw"
         ]
         chunks = chunks_from_prepared(
-            doc_id, recs, raw_texts, chunker_type, token_budget
+            doc_id, recs, raw_texts, chunker_type, token_budget, toc_params
         )
         return pd.DataFrame(chunks, columns=CHUNK_COLUMNS)
 
@@ -209,6 +210,7 @@ def chunk_documents(
     skew_threshold: int = DEFAULT_SKEW_THRESHOLD,
     shard_spans: int = SHARD_SPANS,
     skew_strategy: str = "isolate",
+    toc_params=None,
 ) -> DataFrame:
     """spans table → chunks table (declarative; caller triggers action).
 
@@ -236,12 +238,12 @@ def chunk_documents(
     giant = src.filter(n_spans >= skew_threshold)
 
     small_chunks = small.mapInPandas(
-        _fused_kernel(chunker_type, token_budget), CHUNK_DDL
+        _fused_kernel(chunker_type, token_budget, toc_params), CHUNK_DDL
     )
 
     if skew_strategy == "isolate":
         giant_chunks = giant.repartition(n_parts, "doc_id").mapInPandas(
-            _fused_kernel(chunker_type, token_budget), CHUNK_DDL
+            _fused_kernel(chunker_type, token_budget, toc_params), CHUNK_DDL
         )
         return small_chunks.unionByName(giant_chunks)
 
@@ -271,7 +273,9 @@ def chunk_documents(
     giant_chunks = (
         giant_records.repartition(n_parts, "doc_id")
         .groupBy("doc_id")
-        .applyInPandas(_assemble_group(chunker_type, token_budget), CHUNK_DDL)
+        .applyInPandas(
+            _assemble_group(chunker_type, token_budget, toc_params), CHUNK_DDL
+        )
     )
 
     return small_chunks.unionByName(giant_chunks)

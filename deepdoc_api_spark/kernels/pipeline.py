@@ -46,14 +46,41 @@ def records_to_chunks(
     records: List[Dict],
     chunker_type: str = "hybrid",
     token_budget: int = DEFAULT_TOKEN_BUDGET,
+    toc_params: Optional[Dict] = None,
 ) -> List[Dict]:
     """Post-extraction half of the kernel (used by the sharded giant-doc
-    path, where extraction ran per span shard)."""
+    path, where extraction ran per span shard).
+
+    ``toc_params`` mirrors the reference's chunker configuration
+    (``app/processing.py:751-771``): ``section_pattern`` overrides the
+    dotted-number regex; ``approved_sections`` restricts chunking to
+    sections whose number-stripped name is in the list (the reference
+    passes full section dicts from a prior ``get_sections`` call; in a
+    distributed run the driver broadcasts names, and the kernel
+    re-derives the matching descriptors per document).
+    """
     ct = (chunker_type or "hybrid").lower()
     if ct == "hierarchical":
         chunks = hierarchical_chunks(records)
     elif ct == "toc":
-        chunks = toc_chunks(records)
+        tp = toc_params or {}
+        pattern = tp.get("section_pattern") or None
+        approved_names = tp.get("approved_sections")
+        from .toc import DEFAULT_SECTION_PATTERN, get_sections
+
+        pattern = pattern or DEFAULT_SECTION_PATTERN
+        approved = None
+        if approved_names:
+            import re as _re
+
+            sections = get_sections(records, pattern)
+            approved = [
+                s
+                for s in sections
+                if _re.sub(pattern, "", s["name"]).strip() in set(approved_names)
+                or s["name"] in set(approved_names)
+            ]
+        chunks = toc_chunks(records, pattern=pattern, approved_sections=approved)
     elif ct == "mineru":
         chunks = mineru_chunks(records, doc_id)
     elif ct == "fallback":
@@ -84,12 +111,15 @@ def chunks_from_prepared(
     raw_texts: List[str],
     chunker_type: str = "hybrid",
     token_budget: int = DEFAULT_TOKEN_BUDGET,
+    toc_params: Optional[Dict] = None,
 ) -> List[Dict]:
     """Cascade over already-extracted records (shared by the fused
     small-doc kernel and the sharded giant-doc reassembly path, so both
     produce byte-identical output for the same document)."""
     try:
-        chunks = records_to_chunks(doc_id, records, chunker_type, token_budget)
+        chunks = records_to_chunks(
+            doc_id, records, chunker_type, token_budget, toc_params
+        )
         if not chunks:
             raise RuntimeError("primary extraction returned no chunks")
         return chunks
@@ -120,6 +150,7 @@ def chunk_document(
     chunker_type: str = "hybrid",
     token_budget: int = DEFAULT_TOKEN_BUDGET,
     deadline_s: Optional[float] = None,
+    toc_params: Optional[Dict] = None,
 ) -> List[Dict]:
     """Process one document end-to-end with the reliability cascade.
 
@@ -137,5 +168,5 @@ def chunk_document(
     # "Docling worker returned no chunks" → fallback
     # (app/processing.py:563-564); cascade shared with the sharded path
     return chunks_from_prepared(
-        doc_id, records, raw_texts, chunker_type, token_budget
+        doc_id, records, raw_texts, chunker_type, token_budget, toc_params
     )
