@@ -229,6 +229,13 @@ def chunk_documents(
 
     Both strategies produce byte-identical chunks (tested).
     """
+    if toc_params and toc_params.get("section_pattern"):
+        import re as _re
+
+        # fail fast driver-side: a syntactically invalid section_pattern
+        # would otherwise be swallowed per-document by the fallback
+        # cascade, silently degrading ALL TOC output to window chunks
+        _re.compile(toc_params["section_pattern"])
     spark = spans_df.sparkSession
     n_parts = spark.sparkContext.defaultParallelism * 2
     src = spans_df.select("doc_id", "spans")

@@ -137,17 +137,29 @@ def _split_oversized(el: Dict, budget: int, ctx_tokens: int) -> List[Dict]:
     pieces: List[Dict] = []
     current: List[str] = []
     current_tokens = 0
+
+    def piece() -> Dict:
+        # mutable fields get OWN copies: the downstream merge loop appends
+        # to a piece's "pages" in place, and a shared list would leak pages
+        # into every sibling piece of the split
+        return {
+            **el,
+            "text": " ".join(current),
+            "_tok": current_tokens,
+            "pages": list(el["pages"]),
+        }
+
     for word in el["text"].split():
         wt = count_tokens(word)
         if current and current_tokens + wt > avail:
-            pieces.append({**el, "text": " ".join(current), "_tok": current_tokens})
+            pieces.append(piece())
             current = [word]
             current_tokens = wt
         else:
             current.append(word)
             current_tokens += wt
     if current:
-        pieces.append({**el, "text": " ".join(current), "_tok": current_tokens})
+        pieces.append(piece())
     return pieces
 
 

@@ -218,6 +218,13 @@ class _Sink:
         if self._drop_depth:
             return
 
+        # anchors are tracked BEFORE the table branch (mirroring endtag's
+        # order) so links inside table cells count toward
+        # _table_link_chars — otherwise link-dense nav tables are never
+        # density-filtered and an in-table </a> unbalances an outer link
+        if tag == "a":
+            self._a_depth += 1
+            return
         if tag == "table":
             self._flush_floating()
             self._close_block()
@@ -237,10 +244,6 @@ class _Sink:
                 if not self._table_rows:
                     self._table_rows.append([])
                 self._table_cell = []
-            return
-
-        if tag == "a":
-            self._a_depth += 1
             return
         if tag in _LEAF_KIND:
             self._flush_floating()

@@ -40,10 +40,25 @@ from typing import Dict, List
 DEFAULT_SECTION_PATTERN = r"^(\d+(?:\.\d+)*)"
 
 
+def _match_numbering(m: "re.Match") -> str:
+    """The section-number text of a header match.
+
+    Group 1 when the pattern captures one (the default pattern does);
+    otherwise the whole match — a user-supplied ``section_pattern``
+    without a capturing group must not raise (an IndexError here would
+    silently demote every document to the K5 fallback via the cascade).
+    """
+    if m.re.groups:
+        g = m.group(1)
+        if g is not None:
+            return g
+    return m.group(0)
+
+
 def _title_level(name: str, pattern: str) -> int:
     m = re.match(pattern, name)
     if m:
-        return len(m.group(1).split("."))
+        return len(_match_numbering(m).split("."))
     return 1
 
 
@@ -107,7 +122,7 @@ def get_sections(
         match = re.match(pattern, sec)
 
         if match:
-            numbering = match.group(1)
+            numbering = _match_numbering(match)
             parts = numbering.split(".")
             depth = len(parts)
 

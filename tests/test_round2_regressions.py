@@ -1,0 +1,163 @@
+"""Round-2 regression tests for the ADVICE.md findings.
+
+1. K1 `_split_oversized` pieces shared one `pages` list, so the merge
+   loop's in-place append leaked pages into every earlier piece of a
+   split element (silent output corruption in the default chunker).
+2. HTML table link-density filtering was dead: anchors opened inside a
+   table never incremented `_a_depth`, so `_table_link_chars` stayed 0
+   and link-dense nav tables were never dropped; meanwhile an in-table
+   ``</a>`` decremented an OUTER link's depth, unbalancing counts.
+3. A user-supplied `toc_params["section_pattern"]` with no capturing
+   group raised IndexError per document, which the fallback cascade
+   silently converted into K5 window chunks for the whole document.
+"""
+
+import re
+
+import pytest
+
+from deepdoc_api_spark.kernels.chunkers import hybrid_chunks
+from deepdoc_api_spark.kernels.html_extract import extract_html_blocks
+from deepdoc_api_spark.kernels.pipeline import records_to_chunks
+from deepdoc_api_spark.kernels.toc import (
+    DEFAULT_SECTION_PATTERN,
+    get_sections,
+    toc_chunks,
+)
+
+
+def rec(kind, content, page=1, media_ref=""):
+    return {
+        "kind": kind,
+        "content": content,
+        "media_ref": media_ref,
+        "page": page,
+        "offset": page * 1000,
+    }
+
+
+# ---------------------------------------------------------------------------
+# 1. split pieces must own their pages
+# ---------------------------------------------------------------------------
+
+
+def test_split_pieces_do_not_share_pages():
+    # oversized page-1 element (splits into >= 2 pieces under budget=40)
+    # followed by a small page-2 element of the same kind/headings that
+    # merges into the LAST piece only
+    # 110 words → pieces of 40/40/30 tokens under budget=40, so the
+    # 2-token tail merges into the LAST piece (30+2 <= 40)
+    long_text = " ".join(f"word{i}" for i in range(110))
+    records = [rec("text", long_text, page=1), rec("text", "tiny tail", page=2)]
+    chunks = hybrid_chunks(records, budget=40)
+    assert len(chunks) >= 3, "expected the long element to split"
+    # every chunk except the last must report ONLY page 1
+    for ch in chunks[:-1]:
+        assert ch["pages"] == [1], (
+            f"page leak across split siblings: {ch['pages']!r}"
+        )
+    assert chunks[-1]["pages"] == [1, 2]
+
+
+def test_split_pieces_pages_disjoint_objects():
+    long_text = " ".join(f"w{i}" for i in range(120))
+    chunks = hybrid_chunks([rec("text", long_text, page=3)], budget=40)
+    ids = [id(ch["pages"]) for ch in chunks]
+    assert len(set(ids)) == len(ids), "pieces share a pages list object"
+
+
+# ---------------------------------------------------------------------------
+# 2. table link-density filtering
+# ---------------------------------------------------------------------------
+
+
+def test_link_dense_table_dropped():
+    html = (
+        "<table><tr>"
+        '<td><a href="/a">alpha beta gamma delta</a></td>'
+        '<td><a href="/b">epsilon zeta eta theta</a></td>'
+        "</tr></table>"
+    )
+    assert extract_html_blocks(html) == []
+
+
+def test_mostly_text_table_kept():
+    html = (
+        "<table><tr>"
+        "<td>alpha beta gamma delta epsilon zeta eta theta</td>"
+        '<td>see <a href="/x">x</a></td>'
+        "</tr></table>"
+    )
+    out = extract_html_blocks(html)
+    assert [b["kind"] for b in out] == ["table"]
+
+
+def test_in_table_anchor_close_does_not_unbalance_outer_links():
+    # the </a> inside the table previously decremented an outer link's
+    # depth, making the long paragraph AFTER it count as link text and
+    # survive/fail density checks wrongly
+    html = (
+        "<table><tr><td><a href='/in'>in</a> plain cell text here</td>"
+        "</tr></table>"
+        "<p>this paragraph has plenty of ordinary body text that must "
+        "not be counted as anchor text by an unbalanced depth</p>"
+    )
+    out = extract_html_blocks(html)
+    kinds = [b["kind"] for b in out]
+    assert "text" in kinds, f"paragraph lost: {out!r}"
+
+
+# ---------------------------------------------------------------------------
+# 3. section_pattern without a capturing group
+# ---------------------------------------------------------------------------
+
+_NOGROUP = r"^\d+(?:\.\d+)*"
+
+
+def _numbered_records():
+    return [
+        rec("title", "1 Intro"),
+        rec("text", "intro body text"),
+        rec("title", "1.1 Details"),
+        rec("text", "details body text"),
+        rec("title", "2 Methods"),
+        rec("text", "methods body text"),
+    ]
+
+
+def test_nogroup_pattern_equivalent_to_default():
+    records = _numbered_records()
+    got = toc_chunks(records, pattern=_NOGROUP)
+    want = toc_chunks(records, pattern=DEFAULT_SECTION_PATTERN)
+    assert got == want
+    assert get_sections(records, _NOGROUP) == get_sections(
+        records, DEFAULT_SECTION_PATTERN
+    )
+
+
+def test_nogroup_pattern_does_not_degrade_to_fallback():
+    chunks = records_to_chunks(
+        "doc-x",
+        _numbered_records(),
+        chunker_type="toc",
+        toc_params={"section_pattern": _NOGROUP},
+    )
+    assert chunks, "no chunks produced"
+    assert all(c["extractor_used"] == "primary" for c in chunks)
+    assert any("Intro" in c["text"] for c in chunks)
+
+
+def test_optional_group_matching_empty_falls_back_to_group0():
+    # a group that exists but does not participate must not crash either
+    pat = r"^(?:(\d+(?:\.\d+)*)|[A-Z]+\.)"
+    records = [rec("title", "IV. Appendix"), rec("text", "appendix body")]
+    chunks = toc_chunks(records, pattern=pat)
+    assert len(chunks) == 1
+
+
+def test_invalid_pattern_raises_driver_side(spark, sf_dir):
+    from deepdoc_api_spark.job.pipeline import chunk_documents, spans_from_documents
+
+    spans = spans_from_documents(spark, sf_dir, limit=2)
+    with pytest.raises(re.error):
+        chunk_documents(spans, "toc", toc_params={"section_pattern": "["})
