@@ -27,15 +27,22 @@ SF001 = "/root/testdata/sf0.001"
 
 
 def _pipeline_chunks(spark: SparkSession, sf_dir: str, chunker_type: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
     from deepdoc_api_spark.job.pipeline import chunk_documents, spans_from_documents
     from deepdoc_api_spark.job.session import ship_package
 
     ship_package(spark)
     spans = spans_from_documents(spark, sf_dir)
+    # array columns are JSON-serialized in the driver-facing projection:
+    # the external canonicalizer sorts cell values and cannot hash lists
+    # (every array-typed projection err'd in round 1)
     return chunk_documents(spans, chunker_type).select(
-        "doc_id", "chunk_index", "kind", "text", "media_ref", "pages",
-        "hierarchy", "headings", "chunker_type", "chunk_size",
-        "chunk_overlap", "extractor_used",
+        "doc_id", "chunk_index", "kind", "text", "media_ref",
+        F.to_json("pages").alias("pages"),
+        F.to_json("hierarchy").alias("hierarchy"),
+        F.to_json("headings").alias("headings"),
+        "chunker_type", "chunk_size", "chunk_overlap", "extractor_used",
     )
 
 
@@ -94,16 +101,34 @@ def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ship_package(spark)
     spans = spans_from_documents(spark, sf_dir)
-    return extract_media_features(media_catalog(spans), fake_decode=True)
+    from pyspark.sql import functions as F
+
+    feats = extract_media_features(media_catalog(spans), fake_decode=True)
+    # serialize the float-array feature column for the driver canonicalizer
+    return feats.select(
+        "doc_id", "media_ref", "media_kind", "width", "height", "n_bytes",
+        F.to_json("feature").alias("feature"),
+    )
 
 
 def _q_chunks_with_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
     from deepdoc_api_spark.ops.embeddings import attach_embeddings
 
     chunks = _pipeline_chunks(spark, sf_dir, "hybrid")
     return attach_embeddings(chunks).select(
-        "doc_id", "chunk_index", "kind", "text", "media_ref", "embeddings"
+        "doc_id", "chunk_index", "kind", "text", "media_ref",
+        F.to_json("embeddings").alias("embeddings"),
     )
+
+
+def _q_fallback_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deepdoc_api_spark.job.session import ship_package
+    from deepdoc_api_spark.ops.fallback_text import fallback_window_chunks
+
+    ship_package(spark)
+    return fallback_window_chunks(spark, sf_dir)
 
 
 def _q_media_kind_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -126,6 +151,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_chunks_toc": _q_chunks("toc"),
         "extract_chunks_mineru": _q_chunks("mineru"),
         "extract_chunks_fallback": _q_chunks("fallback"),
+        # K5 window chunker applied to raw document text — the one
+        # pipeline-family query with a full DuckDB oracle (the kernel's
+        # window arithmetic re-derived independently in a recursive CTE)
+        "fallback_window_chunks": _q_fallback_window,
         "chunk_stats_per_doc": _q_chunk_stats,
         "span_kind_histogram": _q_span_kind_histogram,
         # --- multimodal plumbing (rows-only; decode is a spec'd stub)
@@ -158,8 +187,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     """DuckDB oracles for the SQL-expressible queries()."""
     from deepdoc_api_spark.ops import dedup, similarity, text_analysis
+    from deepdoc_api_spark.ops.fallback_text import fallback_window_chunks_sql
 
     return {
+        "fallback_window_chunks": fallback_window_chunks_sql(),
         "token_count": text_analysis.TOKEN_COUNT_SQL,
         "quality_score": text_analysis.QUALITY_SCORE_SQL,
         "lang_id": text_analysis.LANG_ID_SQL,

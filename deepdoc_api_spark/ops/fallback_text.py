@@ -1,0 +1,139 @@
+"""K5 fallback window chunker over raw document text — DuckDB-oracle'd.
+
+The reference's ``FallbackDocumentProcessor`` reads a text file raw and
+window-chunks it (``/root/reference/app/processing.py:1959-1962`` +
+``:2153-2203``). This op applies exactly that chunker to
+``documents.text`` directly, making the flagship chunker family
+externally checkable: the Spark side runs the *kernel*
+(:func:`deepdoc_api_spark.kernels.chunkers.fallback_chunks`, the same
+code the pipeline cascade uses), while the oracle re-derives the
+identical windows in pure DuckDB SQL via a recursive CTE — a genuinely
+independent re-implementation of the start/end/word-boundary/overlap
+arithmetic, so a hash match certifies the K5 semantics, not just the
+plumbing.
+
+``documents.text`` rows are shorter than one window (≤ ~600 chars), so
+the content is the text replicated ``REPLICAS`` times joined by single
+spaces — long enough that every K5 rule fires (word-boundary break past
+the midpoint, ``end - overlap`` stepping, first-chunk overlap 0).
+
+Oracle contract: the text is single-line ASCII with plain spaces (true
+of the driver's tables), so Python ``str.strip()`` ≡ SQL
+``trim(x, ' ')`` and character offsets agree byte-for-byte.
+
+Scale note: one row in → ~N/900 rows out, computed entirely inside one
+``mapInPandas`` crossing with no shuffle — the scan partitioning is the
+output partitioning.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+REPLICAS = 9
+
+FALLBACK_WINDOW_DDL = (
+    "doc_id bigint, chunk_index int, text string, "
+    "chunk_size bigint, chunk_overlap int"
+)
+
+
+def fallback_window_chunks(
+    spark: SparkSession, sf_dir: str, replicas: int = REPLICAS
+) -> DataFrame:
+    """K5 char-window chunks of the replicated document text."""
+    n = spark.sparkContext.defaultParallelism * 2
+    docs = (
+        spark.read.parquet(f"{sf_dir.rstrip('/')}/documents.parquet")
+        .select("doc_id", "text")
+        .repartition(n, "doc_id")
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from deepdoc_api_spark.kernels.chunkers import fallback_chunks
+
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                content = " ".join([text or ""] * replicas)
+                for i, ch in enumerate(fallback_chunks(content)):
+                    rows.append(
+                        (
+                            doc_id,
+                            i,
+                            ch["text"],
+                            len(ch["text"]),
+                            int(ch["chunk_overlap"]),
+                        )
+                    )
+            if rows:
+                yield pd.DataFrame(
+                    rows,
+                    columns=[
+                        "doc_id", "chunk_index", "text",
+                        "chunk_size", "chunk_overlap",
+                    ],
+                )
+
+    return docs.mapInPandas(run, FALLBACK_WINDOW_DDL)
+
+
+def fallback_window_chunks_sql(
+    replicas: int = REPLICAS, chunk_size: int = 1000, overlap: int = 100
+) -> str:
+    """Recursive-CTE re-derivation of app/processing.py:2177-2203.
+
+    Window math per iteration (0-based char offsets, mirroring Python):
+    ``end = min(s + chunk_size, n)``; if ``end < n`` and the window's
+    last space sits past the midpoint, ``end = space_idx + 1``;
+    emit ``content[s:end].strip()``; step ``s = end`` when
+    ``end - overlap <= s`` else ``end - overlap``.
+    """
+    half = chunk_size // 2
+    # e (exclusive end) for the window starting at s:
+    #   sp = 1-based position of the LAST space inside the cs-char
+    #        window (strpos over the reversed window), so the space's
+    #        0-based offset within the window is cs - sp
+    e_expr = (
+        f"CASE WHEN s + {chunk_size} < n AND sp > 0"
+        f" AND ({chunk_size} - sp) > {half}"
+        f" THEN s + ({chunk_size} - sp) + 1"
+        f" ELSE s + least({chunk_size}, n - s) END"
+    )
+    sp_expr = (
+        f"strpos(reverse(substr(c, s + 1, least({chunk_size}, n - s))), ' ')"
+    )
+    return f"""
+WITH RECURSIVE d AS (
+  SELECT doc_id, rtrim(repeat(text || ' ', {replicas}), ' ') AS c FROM documents
+),
+dn AS (SELECT doc_id, c, length(c) AS n FROM d),
+w AS (
+  SELECT doc_id, c, n, 0 AS s FROM dn WHERE n > 0
+  UNION ALL
+  SELECT doc_id, c, n,
+         CASE WHEN e - {overlap} <= s THEN e ELSE e - {overlap} END AS s
+  FROM (
+    SELECT doc_id, c, n, s, {e_expr} AS e
+    FROM (SELECT doc_id, c, n, s, {sp_expr} AS sp FROM w)
+  )
+  WHERE (CASE WHEN e - {overlap} <= s THEN e ELSE e - {overlap} END) < n
+),
+emit AS (
+  SELECT doc_id, s, trim(substr(c, s + 1, e - s), ' ') AS txt
+  FROM (
+    SELECT doc_id, c, n, s, {e_expr} AS e
+    FROM (SELECT doc_id, c, n, s, {sp_expr} AS sp FROM w)
+  )
+)
+SELECT doc_id,
+       (row_number() OVER (PARTITION BY doc_id ORDER BY s) - 1)::INTEGER
+         AS chunk_index,
+       txt AS text,
+       length(txt)::BIGINT AS chunk_size,
+       (CASE WHEN s > 0 THEN {overlap} ELSE 0 END)::INTEGER AS chunk_overlap
+FROM emit WHERE txt <> ''
+"""

@@ -161,3 +161,25 @@ def test_invalid_pattern_raises_driver_side(spark, sf_dir):
     spans = spans_from_documents(spark, sf_dir, limit=2)
     with pytest.raises(re.error):
         chunk_documents(spans, "toc", toc_params={"section_pattern": "["})
+
+
+# ---------------------------------------------------------------------------
+# 4. driver canonicalizer compatibility: no array-typed cells in any
+#    queries() projection (round-1 driver crash: "unhashable type: list"
+#    inside pandas sort_values) — covers the three distinct projections
+#    that err'd (the 5 extract variants share _pipeline_chunks)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "name", ["extract_chunks_hybrid", "media_features", "chunks_with_embeddings"]
+)
+def test_driver_canonicalizer_compat(spark, sf_dir, name):
+    import __spark_entry__ as entry_mod
+
+    df = entry_mod.queries()[name](spark, sf_dir)
+    pdf = df.limit(200).toPandas()
+    assert len(pdf) > 0
+    # the driver's _canon: lexicographic sort over every column — crashes
+    # on list cells, so this sort_values call IS the regression assertion
+    pdf.sort_values(by=sorted(pdf.columns), ignore_index=True)
