@@ -67,8 +67,38 @@ def _progress_dir(out_dir: str) -> str:
     return os.path.join(out_dir, "progress")
 
 
-def completed_buckets(out_dir: str) -> List[int]:
-    """Bucket ids with a committed chunk file + completed progress row."""
+def _meta_path(out_dir: str) -> str:
+    return os.path.join(out_dir, "run-meta.json")
+
+
+def _load_meta(out_dir: str) -> Optional[dict]:
+    try:
+        with open(_meta_path(out_dir), "r", encoding="utf-8") as f:
+            return json.load(f)
+    except Exception:
+        return None
+
+
+def _write_meta(out_dir: str, meta: dict) -> None:
+    tmp = _meta_path(out_dir) + f".tmp-{os.getpid()}"
+    with open(tmp, "w", encoding="utf-8") as f:
+        json.dump(meta, f)
+    os.replace(tmp, _meta_path(out_dir))
+
+
+def completed_buckets(
+    out_dir: str,
+    input_snapshot: Optional[str] = None,
+    num_buckets: Optional[int] = None,
+) -> List[int]:
+    """Bucket ids with a committed chunk file + completed progress row.
+
+    When ``input_snapshot``/``num_buckets`` are given, only progress rows
+    recorded against the SAME input lineage and bucketing count — a row
+    written for a different corpus snapshot or a different bucket count
+    must not suppress re-processing (it would silently mix stale chunks
+    into the output table).
+    """
     done = []
     pdir = _progress_dir(out_dir)
     if not os.path.isdir(pdir):
@@ -77,7 +107,16 @@ def completed_buckets(out_dir: str) -> List[int]:
         try:
             with open(path, "r", encoding="utf-8") as f:
                 row = json.load(f)
-            if row.get("status") == "completed" and os.path.exists(
+            if row.get("status") != "completed":
+                continue
+            if (
+                input_snapshot is not None
+                and row.get("input_snapshot") != input_snapshot
+            ):
+                continue
+            if num_buckets is not None and row.get("num_buckets") != num_buckets:
+                continue
+            if os.path.exists(
                 os.path.join(_chunks_dir(out_dir), f"bucket-{row['partition_id']}.parquet")
             ):
                 done.append(int(row["partition_id"]))
@@ -128,28 +167,64 @@ def progress_df(spark: SparkSession, out_dir: str) -> DataFrame:
     )
 
 
+#: chunk rows buffered per bucket before a row-group flush to the
+#: incremental ParquetWriter — bounds kernel memory to
+#: O(buckets_in_task × FLUSH_ROWS), independent of bucket size
+FLUSH_ROWS = 4096
+
+
 def _writer_kernel(
     out_dir: str,
     run_id: str,
     input_snapshot: str,
     chunker_type: str,
     token_budget: int,
+    num_buckets: int,
 ):
-    """mapInPandas kernel: chunk each bucket's docs, commit the bucket
-    file atomically, emit one progress row per bucket present."""
+    """mapInPandas kernel: chunk each bucket's docs, stream them to a
+    per-bucket ``pq.ParquetWriter`` (bounded buffer — a bucket larger
+    than worker memory must not be accumulated in RAM), commit each
+    bucket file atomically by rename, emit one progress row per bucket."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from deepdoc_api_spark.kernels.pipeline import chunk_document
 
+        chunks_dir = _chunks_dir(out_dir)
+        progress_dir = _progress_dir(out_dir)
+        os.makedirs(chunks_dir, exist_ok=True)
+        os.makedirs(progress_dir, exist_ok=True)
+
         per_bucket: dict = {}
         t0 = time.monotonic()
+
+        def flush(b: int, st: dict) -> None:
+            rows = st["rows"]
+            if not rows:
+                return
+            table = pa.Table.from_pylist(
+                [{k: r[k] for k in CHUNK_COLUMNS} for r in rows],
+                schema=_ARROW_CHUNK_SCHEMA,
+            )
+            if st["writer"] is None:
+                st["tmp"] = os.path.join(
+                    chunks_dir, f"bucket-{b}.parquet.tmp-{os.getpid()}"
+                )
+                st["writer"] = pq.ParquetWriter(st["tmp"], _ARROW_CHUNK_SCHEMA)
+            st["writer"].write_table(table)
+            st["chunks"] += len(rows)
+            st["rows"] = []
+
         for pdf in batches:
             for doc_id, spans, bucket in zip(
                 pdf["doc_id"], pdf["spans"], pdf["bucket"]
             ):
                 b = int(bucket)
                 st = per_bucket.setdefault(
-                    b, {"rows": [], "docs": 0, "bytes": 0}
+                    b,
+                    {
+                        "rows": [], "docs": 0, "bytes": 0, "chunks": 0,
+                        "writer": None, "tmp": None,
+                    },
                 )
                 spans_list = spans if spans is not None else []
                 st["docs"] += 1
@@ -157,36 +232,36 @@ def _writer_kernel(
                 st["rows"].extend(
                     chunk_document(doc_id, spans_list, chunker_type, token_budget)
                 )
+                if len(st["rows"]) >= FLUSH_ROWS:
+                    flush(b, st)
 
-        chunks_dir = _chunks_dir(out_dir)
-        progress_dir = _progress_dir(out_dir)
-        os.makedirs(chunks_dir, exist_ok=True)
-        os.makedirs(progress_dir, exist_ok=True)
         out_rows = []
         for b, st in sorted(per_bucket.items()):
-            rows = st["rows"]
-            table = pa.Table.from_pylist(
-                [
-                    {k: r[k] for k in CHUNK_COLUMNS}
-                    for r in rows
-                ],
-                schema=_ARROW_CHUNK_SCHEMA,
-            )
+            flush(b, st)
+            if st["writer"] is None:
+                # bucket present but produced zero chunk rows: still
+                # commit an empty file so the progress row is honest
+                st["tmp"] = os.path.join(
+                    chunks_dir, f"bucket-{b}.parquet.tmp-{os.getpid()}"
+                )
+                st["writer"] = pq.ParquetWriter(st["tmp"], _ARROW_CHUNK_SCHEMA)
+            st["writer"].close()
             final = os.path.join(chunks_dir, f"bucket-{b}.parquet")
-            tmp = final + f".tmp-{os.getpid()}"
-            pq.write_table(table, tmp)
-            os.replace(tmp, final)  # atomic commit of the bucket
+            os.replace(st["tmp"], final)  # atomic commit of the bucket
             wall_ms = int((time.monotonic() - t0) * 1000)
             prow = {
                 "run_id": run_id,
                 "partition_id": b,
                 "status": "completed",
                 "docs": st["docs"],
-                "chunks": len(rows),
+                "chunks": st["chunks"],
                 "bytes": st["bytes"],
                 "wall_ms": wall_ms,
                 "input_snapshot": input_snapshot,
                 "ts": time.time(),
+                # lineage guard consumed by completed_buckets on resume
+                # (extra JSON key; not part of the PROGRESS_DDL columns)
+                "num_buckets": num_buckets,
             }
             ptmp = os.path.join(progress_dir, f"bucket-{b}.json.tmp-{os.getpid()}")
             with open(ptmp, "w", encoding="utf-8") as f:
@@ -215,14 +290,38 @@ def run_checkpointed(
     num_buckets: int = DEFAULT_NUM_BUCKETS,
     input_snapshot: str = "",
     bucket_filter: Optional[List[int]] = None,
+    on_mismatch: str = "refuse",
 ) -> dict:
     """Execute the pipeline with per-bucket checkpoints; resumable.
 
     ``bucket_filter`` limits processing to specific buckets (used by
     tests to simulate a mid-run crash). Returns a summary dict.
+
+    Resume safety: the run records ``(input_snapshot, num_buckets)`` in
+    ``run-meta.json`` and on every progress row. A re-run against a
+    DIFFERENT corpus snapshot or bucket count must not trust the old
+    progress — it would skip buckets and mix stale chunks from the old
+    bucketing into the output. ``on_mismatch="refuse"`` (default) raises;
+    ``"rebuild"`` discards the stale chunk/progress state and reprocesses
+    from scratch.
     """
     os.makedirs(out_dir, exist_ok=True)
-    done = completed_buckets(out_dir)
+    meta = {"input_snapshot": input_snapshot, "num_buckets": int(num_buckets)}
+    existing = _load_meta(out_dir)
+    if existing is not None and existing != meta:
+        if on_mismatch == "rebuild":
+            import shutil
+
+            for d in (_chunks_dir(out_dir), _progress_dir(out_dir)):
+                shutil.rmtree(d, ignore_errors=True)
+        else:
+            raise ValueError(
+                f"checkpoint dir {out_dir} was written for "
+                f"{existing}, current run is {meta}; pass "
+                'on_mismatch="rebuild" to discard the stale state'
+            )
+    _write_meta(out_dir, meta)
+    done = completed_buckets(out_dir, input_snapshot, int(num_buckets))
 
     work = spans_df.select("doc_id", "spans").withColumn(
         "bucket", F.pmod(F.xxhash64("doc_id"), F.lit(num_buckets)).cast("int")
@@ -242,7 +341,8 @@ def run_checkpointed(
     try:
         progress_rows = work.mapInPandas(
             _writer_kernel(
-                out_dir, run_id, input_snapshot, chunker_type, token_budget
+                out_dir, run_id, input_snapshot, chunker_type,
+                token_budget, int(num_buckets),
             ),
             PROGRESS_DDL,
         ).collect()

@@ -1,0 +1,237 @@
+"""Iceberg execution branch of the checkpoint/sink abstraction.
+
+On a production cluster the chunks and progress tables are Iceberg
+tables (`BASELINE.json north_rule`: per-partition checkpointed progress
+tables with lineage + throughput metrics in Iceberg). This module is
+the code-complete branch of the storage abstraction documented in
+``job/checkpoint.py``; the sandbox has no Iceberg runtime jar, so every
+entry point is gated by :func:`has_iceberg` and the test suite carries
+a skip-marked execution test plus unit tests over the generated DDL/SQL.
+
+Semantics mapping (reference: Redis job record,
+``/root/reference/app/main.py:45-95`` — volatile, non-resumable):
+
+* chunk sink      → ``df.writeTo(tbl).append()`` — one atomic snapshot
+  commit per run increment (all-or-nothing; no torn output to clean up).
+* progress sink   → ``MERGE INTO`` on ``(run_id, partition_id)`` —
+  idempotent under task retry/speculation, exactly one row per bucket.
+* resume          → anti-join of input bucket ids against completed
+  progress rows *of the same input snapshot and bucket count* (the same
+  lineage guard the parquet branch enforces).
+* partition spec  → ``bucket(N, doc_id)`` on chunks so doc-keyed reads
+  and the resume anti-join prune; progress is tiny and unpartitioned.
+* snapshot expiry → ``expire_snapshots`` maintenance ↔ the reference's
+  24 h Redis TTL.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+CHUNKS_DDL_COLS = (
+    "chunk_id string, doc_id string, chunk_index int, kind string, "
+    "text string, media_ref string, pages array<int>, "
+    "hierarchy array<string>, headings array<string>, chunker_type string, "
+    "chunk_size int, chunk_overlap int, extractor_used string, "
+    "run_id string, input_snapshot string"
+)
+
+PROGRESS_DDL_COLS = (
+    "run_id string, partition_id int, status string, docs bigint, "
+    "chunks bigint, bytes bigint, wall_ms bigint, input_snapshot string, "
+    "num_buckets int, ts timestamp"
+)
+
+
+def has_iceberg(spark: SparkSession) -> bool:
+    """True when an Iceberg catalog is configured on this session."""
+    try:
+        confs = spark.sparkContext.getConf().getAll()
+    except Exception:
+        return False
+    return any(
+        k.startswith("spark.sql.catalog.") and "iceberg" in str(v).lower()
+        for k, v in confs
+    )
+
+
+def create_tables_sql(
+    catalog: str, namespace: str, num_buckets: int = 64
+) -> List[str]:
+    """DDL for the chunks + progress tables (partition spec included)."""
+    chunks = f"{catalog}.{namespace}.chunks"
+    progress = f"{catalog}.{namespace}.progress"
+    return [
+        f"CREATE NAMESPACE IF NOT EXISTS {catalog}.{namespace}",
+        (
+            f"CREATE TABLE IF NOT EXISTS {chunks} ({CHUNKS_DDL_COLS}) "
+            f"USING iceberg PARTITIONED BY (bucket({num_buckets}, doc_id)) "
+            "TBLPROPERTIES ('write.distribution-mode' = 'hash', "
+            "'write.parquet.compression-codec' = 'zstd')"
+        ),
+        (
+            f"CREATE TABLE IF NOT EXISTS {progress} ({PROGRESS_DDL_COLS}) "
+            "USING iceberg"
+        ),
+    ]
+
+
+def merge_progress_sql(catalog: str, namespace: str, staging_view: str) -> str:
+    """Idempotent progress upsert on (run_id, partition_id).
+
+    A retried/speculated task re-emits its bucket's row; MERGE keeps
+    exactly one row per bucket with the latest metrics.
+    """
+    progress = f"{catalog}.{namespace}.progress"
+    cols = [c.split()[0] for c in PROGRESS_DDL_COLS.split(", ")]
+    set_clause = ", ".join(f"t.{c} = s.{c}" for c in cols)
+    insert_cols = ", ".join(cols)
+    insert_vals = ", ".join(f"s.{c}" for c in cols)
+    return (
+        f"MERGE INTO {progress} t USING {staging_view} s "
+        "ON t.run_id = s.run_id AND t.partition_id = s.partition_id "
+        f"WHEN MATCHED THEN UPDATE SET {set_clause} "
+        f"WHEN NOT MATCHED THEN INSERT ({insert_cols}) VALUES ({insert_vals})"
+    )
+
+
+def completed_buckets_sql(
+    catalog: str, namespace: str, input_snapshot: str, num_buckets: int
+) -> str:
+    """Bucket ids already committed for THIS lineage (snapshot + bucket
+    count) — the Iceberg twin of ``checkpoint.completed_buckets``."""
+    progress = f"{catalog}.{namespace}.progress"
+    snap = input_snapshot.replace("'", "''")
+    return (
+        f"SELECT DISTINCT partition_id FROM {progress} "
+        f"WHERE status = 'completed' AND input_snapshot = '{snap}' "
+        f"AND num_buckets = {int(num_buckets)}"
+    )
+
+
+def ensure_tables(
+    spark: SparkSession, catalog: str, namespace: str, num_buckets: int = 64
+) -> None:
+    _require(spark)
+    for sql in create_tables_sql(catalog, namespace, num_buckets):
+        spark.sql(sql)
+
+
+def append_chunks(
+    chunks_df: DataFrame, catalog: str, namespace: str
+) -> None:
+    """Atomic snapshot append of a run increment's chunks."""
+    _require(chunks_df.sparkSession)
+    chunks_df.writeTo(f"{catalog}.{namespace}.chunks").append()
+
+
+def merge_progress(
+    spark: SparkSession, progress_df: DataFrame, catalog: str, namespace: str
+) -> None:
+    _require(spark)
+    progress_df.createOrReplaceTempView("_ddspark_progress_staging")
+    spark.sql(merge_progress_sql(catalog, namespace, "_ddspark_progress_staging"))
+
+
+def completed_buckets(
+    spark: SparkSession,
+    catalog: str,
+    namespace: str,
+    input_snapshot: str,
+    num_buckets: int,
+) -> List[int]:
+    _require(spark)
+    rows = spark.sql(
+        completed_buckets_sql(catalog, namespace, input_snapshot, num_buckets)
+    ).collect()
+    return sorted(int(r[0]) for r in rows)
+
+
+def run_checkpointed_iceberg(
+    spark: SparkSession,
+    spans_df: DataFrame,
+    catalog: str,
+    namespace: str,
+    run_id: str,
+    chunker_type: str = "hybrid",
+    token_budget: int = 512,
+    num_buckets: int = 64,
+    input_snapshot: str = "",
+    bucket_filter: Optional[List[int]] = None,
+) -> dict:
+    """Iceberg twin of ``checkpoint.run_checkpointed``.
+
+    Differences from the parquet branch: the atomic unit is the Iceberg
+    snapshot commit, not a per-bucket file rename — chunks of ALL
+    processed buckets land in one ``append()`` (all-or-nothing), then
+    the progress MERGE records them. A crash between the two leaves
+    committed chunks without progress rows; the follow-up run's MERGE
+    is idempotent and the re-append of those buckets is prevented by
+    re-running the whole increment (chunks dedup on (run lineage,
+    bucket) via an ``overwritePartitions`` variant is left configurable
+    — append is the conservative default documented here).
+    """
+    from pyspark.sql import functions as F
+
+    from .pipeline import chunk_documents
+
+    _require(spark)
+    ensure_tables(spark, catalog, namespace, num_buckets)
+    done = completed_buckets(spark, catalog, namespace, input_snapshot, num_buckets)
+
+    work = spans_df.select("doc_id", "spans").withColumn(
+        "bucket", F.pmod(F.xxhash64("doc_id"), F.lit(num_buckets)).cast("int")
+    )
+    if done:
+        work = work.filter(~F.col("bucket").isin(done))
+    if bucket_filter is not None:
+        work = work.filter(F.col("bucket").isin([int(b) for b in bucket_filter]))
+    work = work.repartition(num_buckets, "bucket")
+
+    chunks = chunk_documents(
+        work.select("doc_id", "spans"), chunker_type, token_budget
+    ).withColumn("run_id", F.lit(run_id)).withColumn(
+        "input_snapshot", F.lit(input_snapshot)
+    )
+    append_chunks(chunks, catalog, namespace)
+
+    stats = (
+        work.withColumn("partition_id", F.col("bucket"))
+        .groupBy("partition_id")
+        .agg(
+            F.count("*").alias("docs"),
+            F.sum(
+                F.aggregate(
+                    "spans",
+                    F.lit(0).cast("long"),
+                    lambda acc, s: acc + F.length(F.coalesce(s["text"], F.lit(""))),
+                )
+            ).alias("bytes"),
+        )
+        .selectExpr(
+            f"'{run_id}' as run_id",
+            "partition_id",
+            "'completed' as status",
+            "docs",
+            "cast(0 as bigint) as chunks",
+            "bytes",
+            "cast(0 as bigint) as wall_ms",
+            f"'{input_snapshot}' as input_snapshot",
+            f"cast({int(num_buckets)} as int) as num_buckets",
+            "current_timestamp() as ts",
+        )
+    )
+    merge_progress(spark, stats, catalog, namespace)
+    return {"run_id": run_id, "buckets_done_before": len(done)}
+
+
+def _require(spark: SparkSession) -> None:
+    if not has_iceberg(spark):
+        raise RuntimeError(
+            "no Iceberg catalog configured on this SparkSession "
+            "(set spark.sql.catalog.<name>=org.apache.iceberg.spark.SparkCatalog "
+            "and ship the iceberg-spark-runtime jar); use "
+            "deepdoc_api_spark.job.checkpoint for the filesystem branch"
+        )

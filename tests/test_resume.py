@@ -102,3 +102,65 @@ def test_checkpointed_equals_plain_pipeline(spark, sf_dir, tmp_path):
     )
     assert a == b
     spans.unpersist()
+
+
+def test_resume_rejects_changed_input_snapshot(spark, sf_dir, tmp_path):
+    import pytest
+
+    spans = spans_from_documents(spark, sf_dir, num_partitions=4, limit=20)
+    spans.cache()
+    out = str(tmp_path / "snap")
+    run_checkpointed(
+        spark, spans, out, run_id="a", num_buckets=4,
+        input_snapshot="corpus@v1", bucket_filter=[0, 1],
+    )
+    # different snapshot: stale progress must NOT be trusted
+    with pytest.raises(ValueError, match="rebuild"):
+        run_checkpointed(
+            spark, spans, out, run_id="b", num_buckets=4,
+            input_snapshot="corpus@v2",
+        )
+    # rebuild discards the stale state and processes everything
+    s = run_checkpointed(
+        spark, spans, out, run_id="b", num_buckets=4,
+        input_snapshot="corpus@v2", on_mismatch="rebuild",
+    )
+    assert s["buckets_done_before"] == 0
+    assert s["docs"] == spans.count()
+    spans.unpersist()
+
+
+def test_resume_rejects_changed_num_buckets(spark, sf_dir, tmp_path):
+    import pytest
+
+    spans = spans_from_documents(spark, sf_dir, num_partitions=4, limit=20)
+    spans.cache()
+    out = str(tmp_path / "nb")
+    run_checkpointed(
+        spark, spans, out, run_id="a", num_buckets=4, bucket_filter=[0]
+    )
+    with pytest.raises(ValueError):
+        run_checkpointed(spark, spans, out, run_id="b", num_buckets=8)
+    spans.unpersist()
+
+
+def test_streaming_writer_bounded_buffer(spark, sf_dir, tmp_path, monkeypatch):
+    """A bucket far larger than the flush buffer must stream through the
+    incremental ParquetWriter and still produce exactly the chunks of a
+    direct (non-checkpointed) run."""
+    import deepdoc_api_spark.job.checkpoint as cp
+
+    monkeypatch.setattr(cp, "FLUSH_ROWS", 64)
+    spans = spans_from_documents(spark, sf_dir, num_partitions=4, limit=40)
+    spans.cache()
+    out = str(tmp_path / "stream")
+    s = run_checkpointed(spark, spans, out, run_id="s", num_buckets=1)
+    assert s["chunks"] > 64, "test corpus too small to exercise flushing"
+
+    key = ["doc_id", "chunk_index", "kind", "text", "media_ref"]
+    got = sorted(map(tuple, load_chunks(spark, out).select(*key).collect()))
+    want = sorted(
+        map(tuple, chunk_documents(spans, "hybrid").select(*key).collect())
+    )
+    assert got == want
+    spans.unpersist()
