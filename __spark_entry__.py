@@ -177,6 +177,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_band_buckets": dedup.lsh_band_buckets,
         "jaccard_near_dup_pairs": dedup.jaccard_near_dup_pairs,
         "simhash16": dedup.simhash16,
+        "simhash_words": dedup.simhash_words,
         "simhash_near_dup_pairs": dedup.simhash_near_dup_pairs,
         # --- similarity search (DuckDB oracle)
         "ann_topk_cosine": similarity.brute_force_topk,
@@ -204,6 +205,7 @@ def oracle_sql() -> dict[str, str]:
         "lsh_band_buckets": dedup.LSH_BAND_BUCKETS_SQL,
         "jaccard_near_dup_pairs": dedup.jaccard_near_dup_pairs_sql(),
         "simhash16": dedup.SIMHASH16_SQL,
+        "simhash_words": dedup.SIMHASH_WORDS_SQL,
         "simhash_near_dup_pairs": dedup.simhash_near_dup_pairs_sql(),
         "ann_topk_cosine": similarity.brute_force_topk_sql(),
         "ann_topk_lsh": similarity.lsh_bucket_topk_sql(),

@@ -339,51 +339,162 @@ _SIMHASH_SQL_BODY = (
 SIMHASH16_SQL = f"WITH {_SIMHASH_SQL_BODY}\nSELECT doc_id, simhash FROM sh"
 
 
+# ---------------------------------------------------------------------------
+# SimHash (64-bit, stored as 4×16-bit words — the near-dup scale path)
+# ---------------------------------------------------------------------------
+#
+# Round-1 postmortem: the 16-bit simhash with 8-bit bands collapses at
+# corpus scale (65,536 distinct hashes total; every 256-ary band bucket
+# holds ~N/256 docs → the candidate self-join goes quadratic) AND in
+# precision (hamming ≤ 3 of 16 bits matched 23% of all doc pairs). The
+# 64-bit hash fixes precision; 16-bit band keys bound the buckets; the
+# MAX_BUCKET_DOCS suppression (same guard as the Jaccard path) bounds
+# the worst case regardless of data.
+
+
+def simhash_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash as 4 independent 16-bit words ``w0..w3``.
+
+    One md5 per distinct word yields 128 bits; two 32-bit windows of the
+    digest give per-word hash bits 0..63 (windows 1-8 and 9-16 of the
+    hex — same window scheme as the MinHash family). Word k packs sign
+    bits ``16k..16k+15``. Storing 4 small words instead of one signed
+    64-bit value keeps the bit math engine-portable (no sign-bit
+    overflow in either engine) and the words ARE the LSH band keys.
+    """
+    words = _docs_words(spark, sf_dir).selectExpr(
+        "doc_id", "array_distinct(w) as dw"
+    )
+    hashes = words.selectExpr(
+        "doc_id", "transform(dw, x -> md5(concat('0:', x))) as ds"
+    ).selectExpr(
+        "doc_id",
+        "transform(ds, d -> cast(conv(substr(d, 1, 8), 16, 10) as bigint)) as ha",
+        "transform(ds, d -> cast(conv(substr(d, 9, 8), 16, 10) as bigint)) as hb",
+    )
+    bit_sums = [
+        f"aggregate({arr}, cast(0 as bigint), (acc, h) ->"
+        f" acc + ((h >> {i % 32}) & 1) * 2 - 1) as b{i}"
+        for i, arr in [(j, "ha") for j in range(32)] + [(j, "hb") for j in range(32, 64)]
+    ]
+    word_exprs = [
+        "cast("
+        + " + ".join(
+            f"(case when b{16 * k + j} >= 0 then {1 << j} else 0 end)"
+            for j in range(16)
+        )
+        + f" as bigint) as w{k}"
+        for k in range(4)
+    ]
+    return hashes.selectExpr("doc_id", *bit_sums).selectExpr(
+        "doc_id", *word_exprs
+    )
+
+
+_SIMHASH64_SQL_BODY = (
+    "t64 AS (SELECT doc_id,"
+    " list_distinct(regexp_split_to_array(trim(lower(text)), '\\s+')) AS dw"
+    " FROM documents),\n"
+    "ds64 AS (SELECT doc_id, list_transform(dw, x -> md5('0:' || x)) AS ds FROM t64),\n"
+    "h64 AS (SELECT doc_id,"
+    " list_transform(ds, d -> ('0x' || substr(d, 1, 8))::BIGINT) AS ha,"
+    " list_transform(ds, d -> ('0x' || substr(d, 9, 8))::BIGINT) AS hb FROM ds64),\n"
+    "b64 AS (SELECT doc_id, "
+    + ", ".join(
+        f"list_sum(list_transform({'ha' if i < 32 else 'hb'},"
+        f" h -> ((h >> {i % 32}) & 1) * 2 - 1))::BIGINT AS b{i}"
+        for i in range(64)
+    )
+    + " FROM h64),\n"
+    "sw AS (SELECT doc_id, "
+    + ", ".join(
+        "CAST("
+        + " + ".join(
+            f"(CASE WHEN b{16 * k + j} >= 0 THEN {1 << j} ELSE 0 END)"
+            for j in range(16)
+        )
+        + f" AS BIGINT) AS w{k}"
+        for k in range(4)
+    )
+    + " FROM b64)"
+)
+
+SIMHASH_WORDS_SQL = (
+    f"WITH {_SIMHASH64_SQL_BODY}\nSELECT doc_id, w0, w1, w2, w3 FROM sw"
+)
+
+
 def simhash_near_dup_pairs(
     spark: SparkSession, sf_dir: str, max_hamming: int = 3
 ) -> DataFrame:
-    """SimHash near-dup pairs: Hamming distance ≤ ``max_hamming``.
+    """SimHash near-dup pairs: 64-bit Hamming distance ≤ ``max_hamming``.
 
-    Standard simhash blocking: split the 16-bit hash into two 8-bit
-    bands — any pair within Hamming ≤ 3 of a 16-bit hash CAN still
-    differ in both bands, so this is the usual recall/precision LSH
-    trade (documented); candidates sharing a band verify with
-    ``bit_count(xor)``. The band join keys are 256-ary → bounded
-    buckets at corpus scale.
+    Standard 64-bit simhash blocking: 4 bands of 16 bits — any pair
+    within Hamming ≤ 3 agrees exactly on ≥ 1 band (pigeonhole: 3 flipped
+    bits can dirty at most 3 of 4 bands), so recall is 100% by
+    construction, unlike the round-1 8-bit-band variant. Band keys are
+    65,536-ary; frequent-band suppression (``MAX_BUCKET_DOCS``, same
+    guard as the Jaccard path) bounds the candidate self-join even on
+    degenerate corpora.
     """
-    sh = simhash16(spark, sf_dir)
+    sh = simhash_words(spark, sf_dir)
+    structs = ", ".join(
+        f"named_struct('band', {k}, 'key', w{k})" for k in range(4)
+    )
     bands = sh.selectExpr(
-        "doc_id",
-        "simhash",
-        # NB: ">>" inside array(...) trips Spark's parser (array< type
-        # syntax lookahead) — use shiftright()
-        "explode(array("
-        "named_struct('band', 0, 'key', simhash & 255),"
-        "named_struct('band', 1, 'key', shiftright(simhash, 8) & 255))) as bb",
-    ).selectExpr("doc_id", "simhash", "bb.band as band", "bb.key as key")
-    a = bands.selectExpr("doc_id as doc_a", "simhash as sa", "band", "key")
-    b = bands.selectExpr("doc_id as doc_b", "simhash as sb", "band", "key")
+        "doc_id", "w0", "w1", "w2", "w3",
+        f"explode(array({structs})) as bb",
+    ).selectExpr(
+        "doc_id", "w0", "w1", "w2", "w3", "bb.band as band", "bb.key as key"
+    )
+    ok_buckets = (
+        bands.groupBy("band", "key")
+        .agg(F.count("*").alias("n_docs"))
+        .filter(
+            (F.col("n_docs") > 1) & (F.col("n_docs") <= MAX_BUCKET_DOCS)
+        )
+        .select("band", "key")
+    )
+    pruned = bands.join(F.broadcast(ok_buckets), ["band", "key"])
+    a = pruned.selectExpr(
+        "doc_id as doc_a", "w0 as a0", "w1 as a1", "w2 as a2", "w3 as a3",
+        "band", "key",
+    )
+    b = pruned.selectExpr(
+        "doc_id as doc_b", "w0 as c0", "w1 as c1", "w2 as c2", "w3 as c3",
+        "band", "key",
+    )
+    hamming = (
+        "bit_count(a0 ^ c0) + bit_count(a1 ^ c1)"
+        " + bit_count(a2 ^ c2) + bit_count(a3 ^ c3)"
+    )
     return (
         a.join(b, ["band", "key"])
         .filter("doc_a < doc_b")
-        .selectExpr(
-            "doc_a", "doc_b",
-            "cast(bit_count(sa ^ sb) as int) as hamming",
-        )
+        .selectExpr("doc_a", "doc_b", f"cast({hamming} as int) as hamming")
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
 
 
 def simhash_near_dup_pairs_sql(max_hamming: int = 3) -> str:
+    bands = " UNION ALL ".join(
+        f"SELECT doc_id, w0, w1, w2, w3, {k} AS band, w{k} AS key FROM sw"
+        for k in range(4)
+    )
+    hamming = (
+        "bit_count(xor(a.w0, b.w0)) + bit_count(xor(a.w1, b.w1))"
+        " + bit_count(xor(a.w2, b.w2)) + bit_count(xor(a.w3, b.w3))"
+    )
     return (
-        f"WITH {_SIMHASH_SQL_BODY},\n"
-        "bands AS (SELECT doc_id, simhash, 0 AS band, simhash & 255 AS key FROM sh\n"
-        "          UNION ALL\n"
-        "          SELECT doc_id, simhash, 1 AS band, (simhash >> 8) & 255 AS key FROM sh)\n"
+        f"WITH {_SIMHASH64_SQL_BODY},\n"
+        f"bands AS ({bands}),\n"
+        "ok AS (SELECT band, key FROM bands GROUP BY band, key"
+        f" HAVING count(*) > 1 AND count(*) <= {MAX_BUCKET_DOCS}),\n"
+        "pruned AS (SELECT bands.* FROM bands JOIN ok USING (band, key))\n"
         "SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,\n"
-        "       bit_count(xor(a.simhash, b.simhash))::INTEGER AS hamming\n"
-        "FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key"
+        f"       ({hamming})::INTEGER AS hamming\n"
+        "FROM pruned a JOIN pruned b ON a.band = b.band AND a.key = b.key"
         " AND a.doc_id < b.doc_id\n"
-        f"WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}"
+        f"WHERE {hamming} <= {max_hamming}"
     )

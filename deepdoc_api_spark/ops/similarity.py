@@ -39,6 +39,27 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).repartition(n, "vec_id")
 
 
+def _embedding_dim(sf_dir: str) -> int:
+    """Vector dimensionality, read from the parquet footer + first row
+    group driver-side — NOT via ``df.first()``, which launches an extra
+    Spark job and re-reads the table once per query call."""
+    import glob as _glob
+    import os as _os
+
+    import pyarrow.parquet as _pq
+
+    path = f"{sf_dir.rstrip('/')}/embeddings.parquet"
+    if _os.path.isdir(path):
+        parts = sorted(_glob.glob(_os.path.join(path, "*.parquet")))
+        path = parts[0]
+    pf = _pq.ParquetFile(path)
+    field = pf.schema_arrow.field("embedding")
+    if hasattr(field.type, "list_size") and field.type.list_size > 0:
+        return int(field.type.list_size)  # fixed_size_list: free
+    col = pf.read_row_group(0, columns=["embedding"]).column(0)
+    return len(col[0])
+
+
 def brute_force_topk(
     spark: SparkSession,
     sf_dir: str,
@@ -150,11 +171,7 @@ def lsh_bucket_topk(
     signature key — the brute-force O(N·Q) scan becomes O(N·Q/2^bits).
     """
     emb = _emb(spark, sf_dir)
-    dim = len(
-        spark.read.parquet(f"{sf_dir.rstrip('/')}/embeddings.parquet")
-        .select("embedding")
-        .first()[0]
-    )
+    dim = _embedding_dim(sf_dir)
 
     def bit_expr(b: int) -> str:
         lits = ",".join(str(s) for s in hyperplane_signs(b, dim))
@@ -194,85 +211,128 @@ def lsh_bucket_topk(
     )
 
 
+#: banded random-hyperplane LSH for the near-dup pair join. Round-1
+#: postmortem: a single 4-bit signature = 16 buckets total → the
+#: within-bucket self-join is O(N²/16), quadratic at corpus scale.
+#: Bands of NEAR_DUP_BAND_BITS hyperplanes give 2^16-ary bucket keys
+#: (bounded buckets), NEAR_DUP_BANDS independent bands recover recall
+#: (P[pair shares ≥1 band] = 1-(1-p^bits)^bands, p = 1 - angle/π; at
+#: cos 0.99 that is ~0.995, at cos 0.95 ~0.80 — near-dup LSH is a
+#: recall/cost dial, documented, exactly like the MinHash band count),
+#: and the MAX_BUCKET_VECS suppression bounds degenerate buckets (e.g.
+#: all-zero or constant-sign vectors) regardless of data.
+NEAR_DUP_BANDS = 8
+NEAR_DUP_BAND_BITS = 16
+MAX_BUCKET_VECS = 64
+
+
+def _band_sig_exprs(dim: int, quote: bool, n_bands: int, band_bits: int):
+    """Per-band signature expressions (Spark / DuckDB flavor)."""
+    out = []
+    for band in range(n_bands):
+        bits = []
+        for j in range(band_bits):
+            b = band * band_bits + j
+            lits = ",".join(str(s) for s in hyperplane_signs(b, dim))
+            if quote:  # DuckDB
+                bits.append(
+                    "(CASE WHEN list_sum(list_transform(range(1, len(embedding) + 1),"
+                    f" i -> embedding[i]::DOUBLE * ([{lits}][i]))) >= 0"
+                    f" THEN {1 << j} ELSE 0 END)"
+                )
+            else:  # Spark
+                bits.append(
+                    f"case when aggregate(zip_with(embedding, array({lits}),"
+                    " (x, s) -> cast(x as double) * s), cast(0.0 as double),"
+                    f" (acc, v) -> acc + v) >= 0 then {1 << j} else 0 end"
+                )
+        out.append(" + ".join(bits))
+    return out
+
+
 def embedding_near_dup_pairs(
     spark: SparkSession,
     sf_dir: str,
     threshold_micro: int = 500_000,
-    n_bits: int = 4,
+    n_bands: int = NEAR_DUP_BANDS,
+    band_bits: int = NEAR_DUP_BAND_BITS,
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs.
+    """Embedding-cosine near-duplicate pairs (banded hyperplane LSH).
 
-    LSH-bucket the vectors (coarse, ``n_bits`` hyperplanes so near-dups
-    rarely straddle buckets), self-join within buckets, keep pairs with
-    cosine ≥ threshold. The bucket join bounds the candidate set; at
-    corpus scale this is the embedding-space analogue of the MinHash
-    text dedup.
+    Candidates = vector pairs sharing at least one ``band_bits``-bit
+    band signature, with frequent buckets suppressed (broadcast ok-list,
+    same skew guard as the MinHash text dedup); exact cosine verifies.
     """
     emb = _emb(spark, sf_dir)
-    dim = len(
-        spark.read.parquet(f"{sf_dir.rstrip('/')}/embeddings.parquet")
-        .select("embedding")
-        .first()[0]
+    dim = _embedding_dim(sf_dir)
+    sigs = _band_sig_exprs(dim, quote=False, n_bands=n_bands, band_bits=band_bits)
+    structs = ", ".join(
+        f"named_struct('band', {k}, 'key', cast({sig} as int))"
+        for k, sig in enumerate(sigs)
     )
-
-    def bit_expr(b: int) -> str:
-        lits = ",".join(str(s) for s in hyperplane_signs(b, dim))
-        return (
-            f"case when aggregate(zip_with(embedding, array({lits}),"
-            " (x, s) -> cast(x as double) * s), cast(0.0 as double),"
-            f" (acc, v) -> acc + v) >= 0 then {1 << b} else 0 end"
-        )
-
-    sig = " + ".join(bit_expr(b) for b in range(n_bits))
-    signed = emb.selectExpr("vec_id", "embedding", f"cast({sig} as int) as bucket")
-    a = signed.selectExpr("vec_id as id_a", "embedding as ea", "bucket")
-    b = signed.selectExpr("vec_id as id_b", "embedding as eb", "bucket")
+    bands = emb.selectExpr(
+        "vec_id", "embedding", f"explode(array({structs})) as bb"
+    ).selectExpr("vec_id", "embedding", "bb.band as band", "bb.key as key")
+    ok_buckets = (
+        bands.groupBy("band", "key")
+        .agg(F.count("*").alias("n_vecs"))
+        .filter((F.col("n_vecs") > 1) & (F.col("n_vecs") <= MAX_BUCKET_VECS))
+        .select("band", "key")
+    )
+    pruned = bands.join(F.broadcast(ok_buckets), ["band", "key"])
+    a = pruned.selectExpr("vec_id as id_a", "embedding as ea", "band", "key")
+    b = pruned.selectExpr("vec_id as id_b", "embedding as eb", "band", "key")
     dot = _DOT.format(a="ea", b="eb")
     na = _NORM.format(a="ea")
     nb = _NORM.format(a="eb")
     return (
-        a.join(b, "bucket")
+        a.join(b, ["band", "key"])
         .filter("id_a < id_b")
         .selectExpr(
             "id_a",
             "id_b",
             f"cast(floor({dot} / ({na} * {nb}) * 1000000) as bigint) as sim_micro",
         )
+        # threshold BEFORE distinct: the dedup shuffle then carries only
+        # true near-dup pairs (3 scalar columns), never the full
+        # candidate set or array columns
         .filter(F.col("sim_micro") >= threshold_micro)
+        .distinct()
     )
 
 
 def embedding_near_dup_pairs_sql(
-    threshold_micro: int = 500_000, n_bits: int = 4, dim: int = 64
+    threshold_micro: int = 500_000,
+    n_bands: int = NEAR_DUP_BANDS,
+    band_bits: int = NEAR_DUP_BAND_BITS,
+    dim: int = 64,
 ) -> str:
-    def bit_sql(b: int) -> str:
-        lits = ",".join(str(s) for s in hyperplane_signs(b, dim))
-        return (
-            "(CASE WHEN list_sum(list_transform(range(1, len(embedding) + 1),"
-            f" i -> embedding[i]::DOUBLE * ([{lits}][i]))) >= 0"
-            f" THEN {1 << b} ELSE 0 END)"
-        )
-
-    sig = " + ".join(bit_sql(b) for b in range(n_bits))
+    sigs = _band_sig_exprs(dim, quote=True, n_bands=n_bands, band_bits=band_bits)
+    band_rows = " UNION ALL ".join(
+        f"SELECT vec_id, embedding, {k} AS band, CAST({sig} AS INTEGER) AS key"
+        " FROM embeddings"
+        for k, sig in enumerate(sigs)
+    )
+    cos = (
+        "list_sum(list_transform(range(1, len(a.embedding) + 1),"
+        " i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))"
+        " / (sqrt(list_sum(list_transform(a.embedding, x -> x::DOUBLE * x::DOUBLE)))"
+        " * sqrt(list_sum(list_transform(b.embedding, x -> x::DOUBLE * x::DOUBLE))))"
+    )
     return f"""
-WITH signed AS (
-  SELECT vec_id, embedding, CAST({sig} AS INTEGER) AS bucket FROM embeddings
-)
-SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-  CAST(floor(
-    list_sum(list_transform(range(1, len(a.embedding) + 1),
-             i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
-    / (sqrt(list_sum(list_transform(a.embedding, x -> x::DOUBLE * x::DOUBLE)))
-       * sqrt(list_sum(list_transform(b.embedding, x -> x::DOUBLE * x::DOUBLE))))
-    * 1000000) AS BIGINT) AS sim_micro
-FROM signed a JOIN signed b USING (bucket)
-WHERE a.vec_id < b.vec_id
-  AND CAST(floor(
-    list_sum(list_transform(range(1, len(a.embedding) + 1),
-             i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
-    / (sqrt(list_sum(list_transform(a.embedding, x -> x::DOUBLE * x::DOUBLE)))
-       * sqrt(list_sum(list_transform(b.embedding, x -> x::DOUBLE * x::DOUBLE))))
-    * 1000000) AS BIGINT) >= {threshold_micro}
+WITH bands AS ({band_rows}),
+ok AS (SELECT band, key FROM bands GROUP BY band, key
+       HAVING count(*) > 1 AND count(*) <= {MAX_BUCKET_VECS}),
+pruned AS (SELECT bands.* FROM bands JOIN ok USING (band, key)),
+cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+         FROM pruned a JOIN pruned b
+           ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id)
+SELECT id_a, id_b,
+  CAST(floor({cos.replace('a.embedding', 'ea.embedding').replace('b.embedding', 'eb.embedding')} * 1000000) AS BIGINT) AS sim_micro
+FROM cand
+JOIN embeddings ea ON ea.vec_id = id_a
+JOIN embeddings eb ON eb.vec_id = id_b
+WHERE CAST(floor({cos.replace('a.embedding', 'ea.embedding').replace('b.embedding', 'eb.embedding')} * 1000000) AS BIGINT) >= {threshold_micro}
 """
 
 

@@ -204,24 +204,71 @@ FROM documents GROUP BY 1
 # ---------------------------------------------------------------------------
 
 _ROLL_MOD = 2_147_483_647  # 2^31 - 1; acc*31 + c stays far inside bigint
+#: characters folded per chunk. The round-1 version materialized ONE
+#: per-character array for the whole document (`split(text, '')`) — a
+#: 1 MB doc became a 10^6-element array per row. The chunked fold is
+#: algebraically identical (Horner over blocks:
+#: acc' = (acc·31^len(chunk) + H(chunk)) mod M) but only ever
+#: materializes ROLL_CHUNK-char arrays, bounding per-row memory.
+ROLL_CHUNK = 64
+
+# 31^n mod M for n = 1..ROLL_CHUNK, inlined as a literal lookup (the
+# last chunk of a document may be shorter than ROLL_CHUNK)
+_POW31 = [1]
+for _ in range(ROLL_CHUNK):
+    _POW31.append((_POW31[-1] * 31) % _ROLL_MOD)
+_POW31_LIT = ",".join(str(p) for p in _POW31[1:])  # index 1 ↔ 31^1
 
 
 def rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Polynomial rolling hash over the character sequence — the
     classic content fingerprint; exact integer math so the oracle
-    reproduces it bit-for-bit."""
+    reproduces it bit-for-bit. Value-identical to the round-1 whole-doc
+    fold (pinned by test)."""
+    inner = (
+        "aggregate(split(ch, ''), cast(0 as bigint),"
+        f" (a, c) -> (a * 31 + ascii(c)) % {_ROLL_MOD})"
+    )
+    chunks = (
+        f"transform(sequence(0, cast(ceil(length(text) / {ROLL_CHUNK}.0) as int) - 1),"
+        f" i -> substr(text, i * {ROLL_CHUNK} + 1, {ROLL_CHUNK}))"
+    )
+    outer = (
+        f"aggregate({chunks}, cast(0 as bigint), (acc, ch) ->"
+        f" (acc * element_at(array({_POW31_LIT}), length(ch)) + {inner})"
+        f" % {_ROLL_MOD})"
+    )
     return _docs(spark, sf_dir).selectExpr(
         "doc_id",
-        "aggregate(split(text, ''), cast(0 as bigint),"
-        f" (acc, c) -> (acc * 31 + ascii(c)) % {_ROLL_MOD}) as roll_hash",
+        f"case when length(text) = 0 or text is null then cast(0 as bigint)"
+        f" else {outer} end as roll_hash",
     )
 
 
-ROLLING_FINGERPRINT_SQL = f"""
-SELECT doc_id,
-       list_reduce(
-         list_prepend(0::BIGINT,
-           list_transform(string_split(text, ''), c -> ord(c)::BIGINT)),
-         (acc, c) -> (acc * 31 + c) % {_ROLL_MOD}) AS roll_hash
-FROM documents
-"""
+def _rolling_sql() -> str:
+    # DuckDB's list_reduce carries the accumulator in the element type,
+    # so the outer fold packs each chunk's (31^len, inner_hash) into one
+    # BIGINT: e = pow·2^31 + h (both < 2^31). The seed 0 prepends
+    # cleanly and (acc·(e>>31) + (e & (2^31-1))) mod M unpacks exactly.
+    two31 = 1 << 31
+    ch = f"substr(text, i * {ROLL_CHUNK} + 1, {ROLL_CHUNK})"
+    inner = (
+        "list_reduce(list_prepend(0::BIGINT,"
+        f" list_transform(string_split({ch}, ''), c -> ord(c)::BIGINT)),"
+        f" (a, c) -> (a * 31 + c) % {_ROLL_MOD})"
+    )
+    packed = (
+        f"list_transform(range(0, CAST(ceil(length(text) / {ROLL_CHUNK}.0) AS INTEGER)),"
+        f" i -> ([{_POW31_LIT}][length({ch})])::BIGINT * {two31} + {inner})"
+    )
+    outer = (
+        f"list_reduce(list_prepend(0::BIGINT, {packed}), (acc, e) ->"
+        f" (acc * (e // {two31}) + (e % {two31})) % {_ROLL_MOD})"
+    )
+    return (
+        "SELECT doc_id, CASE WHEN text IS NULL OR length(text) = 0"
+        f" THEN 0::BIGINT ELSE {outer} END AS roll_hash FROM documents"
+    )
+
+
+ROLLING_FINGERPRINT_SQL = _rolling_sql()

@@ -123,3 +123,52 @@ def _plan_spans(spark, sf_dir):
             "overwrite"
         ).parquet("/tmp/plan_spans.parquet")
     yield
+
+
+def test_embedding_near_dup_join_is_guarded(spark, sf_dir):
+    """The near-dup candidate self-join must run only over buckets that
+    pass the broadcast ok-list (frequent-band suppression) — an
+    unguarded self-join on bucket keys is quadratic at corpus scale."""
+    from deepdoc_api_spark.ops import similarity
+
+    plan = plan_of(similarity.embedding_near_dup_pairs(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, "bucket-suppression broadcast missing"
+    # the pair join itself is keyed on (band, key): bounded buckets
+    assert "band" in plan and "key" in plan
+
+
+def test_simhash_near_dup_join_is_guarded(spark, sf_dir):
+    from deepdoc_api_spark.ops import dedup
+
+    plan = plan_of(dedup.simhash_near_dup_pairs(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, "bucket-suppression broadcast missing"
+
+
+def test_rolling_fingerprint_has_no_whole_doc_char_array(spark, sf_dir):
+    """The fold must chunk the text — a whole-document split(text, '')
+    materializes a per-character array (10^6 elements for a 1 MB doc)."""
+    from deepdoc_api_spark.ops import text_analysis
+
+    plan = plan_of(text_analysis.rolling_fingerprint(spark, sf_dir))
+    assert "split(text" not in plan.replace("split(text#", "KEEP"), plan[:500]
+    assert "substr" in plan or "substring" in plan.lower()
+
+
+def test_lsh_topk_no_dim_probe_job(spark, sf_dir):
+    """Building the LSH plan must launch no MORE jobs than the
+    brute-force plan (round 1 probed the vector dim via df.first() — a
+    full extra job + table re-read on top of schema inference)."""
+    from deepdoc_api_spark.ops import similarity
+
+    tracker = spark.sparkContext.statusTracker()
+
+    def jobs_to_build(fn):
+        before = len(tracker.getJobIdsForGroup() or [])
+        _ = plan_of(fn(spark, sf_dir))
+        return len(tracker.getJobIdsForGroup() or []) - before
+
+    baseline = jobs_to_build(similarity.brute_force_topk)  # no probe ever
+    lsh = jobs_to_build(similarity.lsh_bucket_topk)
+    near = jobs_to_build(similarity.embedding_near_dup_pairs)
+    assert lsh <= baseline, f"dim probe job: lsh={lsh} baseline={baseline}"
+    assert near <= baseline, f"dim probe job: near={near} baseline={baseline}"
