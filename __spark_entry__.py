@@ -42,7 +42,9 @@ def _pipeline_chunks(spark: SparkSession, sf_dir: str, chunker_type: str) -> Dat
         F.to_json("pages").alias("pages"),
         F.to_json("hierarchy").alias("hierarchy"),
         F.to_json("headings").alias("headings"),
-        "chunker_type", "chunk_size", "chunk_overlap", "extractor_used",
+        "chunker_type", "chunk_size", "chunk_overlap",
+        F.to_json("bbox").alias("bbox"),
+        "extractor_used",
     )
 
 

@@ -54,6 +54,20 @@ _ARROW_CHUNK_SCHEMA = pa.schema(
         pa.field("chunker_type", pa.string()),
         pa.field("chunk_size", pa.int32()),
         pa.field("chunk_overlap", pa.int32()),
+        pa.field(
+            "bbox",
+            pa.struct(
+                [
+                    pa.field("left", pa.float64()),
+                    pa.field("top", pa.float64()),
+                    pa.field("right", pa.float64()),
+                    pa.field("bottom", pa.float64()),
+                    pa.field("width", pa.float64()),
+                    pa.field("height", pa.float64()),
+                    pa.field("area", pa.float64()),
+                ]
+            ),
+        ),
         pa.field("extractor_used", pa.string()),
     ]
 )

@@ -46,7 +46,7 @@ SHARD_SPANS = 512
 
 _RECORD_RAW_DDL = (
     "doc_id string, pos int, rec_idx int, kind string, content string, "
-    "media_ref string, page int"
+    "media_ref string, page int, bbox_json string"
 )
 
 
@@ -134,6 +134,8 @@ def _extract_span_shards(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFra
     """Per-span extraction (the shardable half): one input row per span,
     output rows are normalized records plus one ``_raw`` row per span
     (rec_idx = -1) carrying the raw text for the fallback cascade."""
+    import json
+
     from deepdoc_api_spark.kernels.layout import span_to_records
 
     for pdf in batches:
@@ -142,7 +144,7 @@ def _extract_span_shards(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFra
             pdf["doc_id"], pdf["pos"], pdf["kind"], pdf["text"],
             pdf["media_ref"], pdf["offset"],
         ):
-            rows.append((doc_id, int(pos), -1, "_raw", text or "", "", 0))
+            rows.append((doc_id, int(pos), -1, "_raw", text or "", "", 0, None))
             recs = span_to_records(
                 kind or "", text or "", media_ref, int(offset or 0)
             )
@@ -156,6 +158,10 @@ def _extract_span_shards(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFra
                         r["content"],
                         r["media_ref"],
                         int(r["page"]),
+                        # json round-trips floats exactly (repr-based),
+                        # so shard-path bboxes stay byte-identical to
+                        # the fused path's
+                        json.dumps(r["bbox"]) if r.get("bbox") else None,
                     )
                 )
         if rows:
@@ -163,13 +169,15 @@ def _extract_span_shards(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFra
                 rows,
                 columns=[
                     "doc_id", "pos", "rec_idx", "kind", "content",
-                    "media_ref", "page",
+                    "media_ref", "page", "bbox_json",
                 ],
             )
 
 
 def _assemble_group(chunker_type: str, token_budget: int, toc_params=None):
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        import json
+
         from deepdoc_api_spark.kernels.pipeline import chunks_from_prepared
 
         pdf = pdf.sort_values(["pos", "rec_idx"], kind="mergesort")
@@ -184,9 +192,11 @@ def _assemble_group(chunker_type: str, token_budget: int, toc_params=None):
                 "media_ref": m or "",
                 "page": int(p),
                 "offset": 0,
+                "bbox": json.loads(bj) if bj else None,
             }
-            for k, c, m, p in zip(
-                pdf["kind"], pdf["content"], pdf["media_ref"], pdf["page"]
+            for k, c, m, p, bj in zip(
+                pdf["kind"], pdf["content"], pdf["media_ref"], pdf["page"],
+                pdf["bbox_json"],
             )
             if k != "_raw"
         ]

@@ -1,0 +1,128 @@
+"""Bbox provenance (O9): collection + normalization.
+
+The reference attaches one canonical bounding box to every chunk
+(``/root/reference/app/models.py:24`` ``ChunkMetadata.bbox``), collected
+from the first provenance item that yields coordinates
+(``app/processing.py:1144-1166``) and normalized across four naming
+conventions — ``l/t/r/b``, ``x/y/width/height``, ``x1/y1/x2/y2``,
+``left/top/right/bottom`` — into a fixed-key dict with derived
+width/height/area (``app/processing.py:1258-1326``).
+
+In the span-table model the input schema is mandated to exactly
+``(kind, text, media_ref, offset)`` (BASELINE.json ``input_hint``), so
+raw layout geometry cannot ride the external contract. Provenance is
+instead synthesized deterministically from the span ``offset`` at the
+point where the reference would receive it from docling — the page
+convention already derives from offset (``offset // PAGE_SIZE + 1``),
+and the bbox derives from the within-page position the same way. The
+synthesis deliberately cycles through all four raw naming conventions
+(keyed on ``offset % 4``) so the normalization path — the part with
+reference semantics to preserve — is exercised end-to-end, and a
+differential test executes the reference's own
+``_extract_bbox_from_object`` as the oracle.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+#: within-page coordinate space of the synthetic provenance
+_PAGE_SIZE = 1000
+
+
+def raw_bbox(offset: int) -> Dict:
+    """Deterministic raw provenance for a span, in one of the four
+    naming conventions the reference normalizes. Pure function of
+    ``offset``; values are small integers-as-floats (exact in binary,
+    so derived width/height/area are exact too)."""
+    off = int(offset or 0)
+    y0 = float(off % _PAGE_SIZE)
+    x0 = float((off * 37) % 400)
+    w = float(100 + (off * 13) % 300)
+    h = float(10 + (off * 7) % 40)
+    conv = off % 4
+    if conv == 0:
+        return {"l": x0, "t": y0, "r": x0 + w, "b": y0 + h}
+    if conv == 1:
+        return {"x": x0, "y": y0, "width": w, "height": h}
+    if conv == 2:
+        return {"x1": x0, "y1": y0, "x2": x0 + w, "y2": y0 + h}
+    return {"left": x0, "top": y0, "right": x0 + w, "bottom": y0 + h}
+
+
+def normalize_bbox(obj: Optional[Dict]) -> Optional[Dict]:
+    """Normalize a raw bbox mapping to the canonical fixed-key dict.
+
+    Mirrors ``app/processing.py:1258-1326`` exactly, with dict lookups
+    standing in for the reference's ``getattr`` probes (the duck-typed
+    semantics are identical, including the quirks):
+
+    * probe order l/t/r/b → x/y/w/h → x1/y1/x2/y2 → left/top/right/bottom;
+    * the x/y branch defaults a missing width/height to 0 and coalesces
+      a missing x/y to 0 *inside the right/bottom sums* (so right/bottom
+      are non-None whenever width/height default — reproduced);
+    * a convention matches when ALL four canonical values are non-None;
+    * width/height/area derived; failures return None.
+    """
+    if obj is None:
+        return None
+    try:
+        get = obj.get
+
+        def _ltrb():
+            return {
+                "left": get("l"),
+                "top": get("t"),
+                "right": get("r"),
+                "bottom": get("b"),
+            }
+
+        def _xywh():
+            # ("width" in obj ↔ getattr default: a MISSING attr defaults
+            # to 0, but one PRESENT with value None propagates None into
+            # the sum → TypeError → caught → None, like the reference)
+            return {
+                "left": get("x"),
+                "top": get("y"),
+                "right": (get("x") or 0) + (obj["width"] if "width" in obj else 0),
+                "bottom": (get("y") or 0) + (obj["height"] if "height" in obj else 0),
+            }
+
+        def _xyxy():
+            return {
+                "left": get("x1"),
+                "top": get("y1"),
+                "right": get("x2"),
+                "bottom": get("y2"),
+            }
+
+        def _named():
+            return {
+                "left": get("left"),
+                "top": get("top"),
+                "right": get("right"),
+                "bottom": get("bottom"),
+            }
+
+        for method in (_ltrb, _xywh, _xyxy, _named):
+            coords = method()
+            if all(v is not None for v in coords.values()):
+                width = (coords["right"] or 0.0) - (coords["left"] or 0.0)
+                height = (coords["bottom"] or 0.0) - (coords["top"] or 0.0)
+                return {
+                    "left": float(coords["left"] or 0.0),
+                    "top": float(coords["top"] or 0.0),
+                    "right": float(coords["right"] or 0.0),
+                    "bottom": float(coords["bottom"] or 0.0),
+                    "width": float(width),
+                    "height": float(height),
+                    "area": float(width * height),
+                }
+    except (AttributeError, TypeError, ValueError):
+        return None
+    return None
+
+
+def span_bbox(offset: int) -> Optional[Dict]:
+    """Canonical bbox of a span: synthesize raw provenance, normalize."""
+    return normalize_bbox(raw_bbox(offset))

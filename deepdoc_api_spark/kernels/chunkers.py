@@ -74,6 +74,10 @@ def hierarchical_elements(
                 "media_ref": rec["media_ref"],
                 "pages": [rec["page"]],
                 "headings": list(stack),
+                # O9: element keeps the FIRST record's bbox; merges below
+                # never overwrite it (reference: first provenance item,
+                # app/processing.py:1158-1166)
+                "bbox": rec.get("bbox"),
                 "_tok": count_tokens(rec["content"]) if kind != "media" else 0,
             }
         )
@@ -102,6 +106,7 @@ def hierarchical_chunks(
                     "pages": el["pages"],
                     "kind": "media",
                     "media_ref": el["media_ref"],
+                    "bbox": el.get("bbox"),
                 }
             )
             continue
@@ -113,6 +118,7 @@ def hierarchical_chunks(
                 "pages": el["pages"],
                 "kind": el["kind"],
                 "media_ref": el["media_ref"],
+                "bbox": el.get("bbox"),
             }
         )
     return chunks
@@ -223,6 +229,7 @@ def hybrid_chunks(
                     "pages": el["pages"],
                     "kind": "media",
                     "media_ref": el["media_ref"],
+                    "bbox": el.get("bbox"),
                 }
             )
         else:
@@ -234,6 +241,7 @@ def hybrid_chunks(
                     "pages": el["pages"],
                     "kind": el["kind"],
                     "media_ref": el["media_ref"],
+                    "bbox": el.get("bbox"),
                 }
             )
     return chunks
@@ -266,6 +274,7 @@ def mineru_chunks(records: List[Dict], doc_name: str) -> List[Dict]:
                     "pages": parse_page_label(item["page"]),
                     "kind": "media",
                     "media_ref": item.get("media_ref", ""),
+                    "bbox": item.get("bbox"),
                 }
             )
             continue
@@ -280,6 +289,7 @@ def mineru_chunks(records: List[Dict], doc_name: str) -> List[Dict]:
                 "pages": parse_page_label(item["page"]),
                 "kind": item["type"],
                 "media_ref": item.get("media_ref", ""),
+                "bbox": item.get("bbox"),
             }
         )
     return chunks
@@ -380,6 +390,7 @@ def assemble_chunks(
                 "chunker_type": chunker_type,
                 "chunk_size": len(text),
                 "chunk_overlap": int(ch.get("chunk_overlap") or 0),
+                "bbox": ch.get("bbox"),
                 "extractor_used": extractor_used,
             }
         )

@@ -40,6 +40,7 @@ from __future__ import annotations
 from collections import Counter
 from typing import Dict, List, Optional
 
+from .bbox import span_bbox
 from .html_extract import extract_html_blocks
 
 PAGE_SIZE = 1000
@@ -71,6 +72,9 @@ def span_to_records(
     """
     page = page_of_offset(offset)
     media_ref = media_ref or ""
+    # O9: per-span canonical bbox provenance (synthesized from offset,
+    # normalized through the reference's 4-convention probing — bbox.py)
+    bbox = span_bbox(offset)
     out: List[Dict] = []
     if kind == "html":
         for blk in extract_html_blocks(text or ""):
@@ -81,6 +85,7 @@ def span_to_records(
                     "media_ref": blk["media_ref"],
                     "page": page,
                     "offset": offset,
+                    "bbox": bbox,
                 }
             )
     elif kind == "media":
@@ -91,6 +96,7 @@ def span_to_records(
                 "media_ref": media_ref,
                 "page": page,
                 "offset": offset,
+                "bbox": bbox,
             }
         )
     elif kind in PDF_KINDS:
@@ -101,6 +107,7 @@ def span_to_records(
                 "media_ref": media_ref,
                 "page": page,
                 "offset": offset,
+                "bbox": bbox,
             }
         )
     # other kinds: dropped (layout_processor.py handles only the four
@@ -178,12 +185,15 @@ def format_records(records: List[Dict]) -> List[Dict]:
                     "type": "media",
                     "hierarchy": list(hierarchy),
                     "media_ref": rec["media_ref"],
+                    "bbox": rec.get("bbox"),
                 }
             )
         elif (rtype == last_type and rtype != "media" and formatted) or (
             last_type == "text" and rtype == "list"
         ):
-            # O6 — layout_processor.py:154-167
+            # O6 — layout_processor.py:154-167. The merged record keeps
+            # the FIRST contributor's bbox (reference chunks take the
+            # first provenance item, app/processing.py:1158-1166)
             last = formatted.pop()
             last["content"] += "\n" + content
             last_page = last["page"]
@@ -200,6 +210,7 @@ def format_records(records: List[Dict]) -> List[Dict]:
                     "type": rtype,
                     "hierarchy": list(hierarchy),
                     "media_ref": rec["media_ref"],
+                    "bbox": rec.get("bbox"),
                 }
             )
 

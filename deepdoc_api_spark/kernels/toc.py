@@ -234,6 +234,12 @@ def toc_chunks(
                 "pages": [page_no] if page_no else [],
                 "kind": "text",
                 "media_ref": "",
+                # O9: section chunks take the header record's bbox
+                "bbox": (
+                    records[start_idx].get("bbox")
+                    if 0 <= start_idx < len(records)
+                    else None
+                ),
             }
         )
 

@@ -36,6 +36,25 @@ SPANS_DDL = (
     "spans array<struct<kind:string,text:string,media_ref:string,offset:int>>"
 )
 
+# bbox provenance (O9) — typed struct with the reference's fixed keys
+# (app/processing.py:1313-1321: left/top/right/bottom + width/height/area)
+BBOX_STRUCT = T.StructType(
+    [
+        T.StructField("left", T.DoubleType()),
+        T.StructField("top", T.DoubleType()),
+        T.StructField("right", T.DoubleType()),
+        T.StructField("bottom", T.DoubleType()),
+        T.StructField("width", T.DoubleType()),
+        T.StructField("height", T.DoubleType()),
+        T.StructField("area", T.DoubleType()),
+    ]
+)
+
+BBOX_DDL = (
+    "struct<left:double,top:double,right:double,bottom:double,"
+    "width:double,height:double,area:double>"
+)
+
 # chunk output — ChunkResult/ChunkMetadata analogue (app/models.py:19-39)
 CHUNK_SCHEMA = T.StructType(
     [
@@ -51,6 +70,7 @@ CHUNK_SCHEMA = T.StructType(
         T.StructField("chunker_type", T.StringType()),
         T.StructField("chunk_size", T.IntegerType()),
         T.StructField("chunk_overlap", T.IntegerType()),
+        T.StructField("bbox", BBOX_STRUCT),
         T.StructField("extractor_used", T.StringType()),
     ]
 )
@@ -59,7 +79,8 @@ CHUNK_DDL = (
     "chunk_id string, doc_id string, chunk_index int, kind string, "
     "text string, media_ref string, pages array<int>, "
     "hierarchy array<string>, headings array<string>, chunker_type string, "
-    "chunk_size int, chunk_overlap int, extractor_used string"
+    f"chunk_size int, chunk_overlap int, bbox {BBOX_DDL}, "
+    "extractor_used string"
 )
 
 CHUNK_COLUMNS = [f.name for f in CHUNK_SCHEMA.fields]

@@ -44,6 +44,8 @@ def test_media_passthrough_order():
 
 def test_table_keeps_media_ref():
     # layout_processor.py:116-129: table spans carry image_path
+    from deepdoc_api_spark.kernels.bbox import span_bbox
+
     recs = extract_records([span("table", "<table>x</table>", 5, "img://t.png")])
     assert recs == [
         {
@@ -52,6 +54,7 @@ def test_table_keeps_media_ref():
             "media_ref": "img://t.png",
             "page": 1,
             "offset": 5,
+            "bbox": span_bbox(5),
         }
     ]
 
@@ -82,6 +85,7 @@ def test_hierarchy_prefix_and_snapshot():
             "type": "text",
             "hierarchy": [],
             "media_ref": "",
+            "bbox": None,
         }
     ]
 

@@ -183,3 +183,40 @@ def test_driver_canonicalizer_compat(spark, sf_dir, name):
     # the driver's _canon: lexicographic sort over every column — crashes
     # on list cells, so this sort_values call IS the regression assertion
     pdf.sort_values(by=sorted(pdf.columns), ignore_index=True)
+
+
+# ---------------------------------------------------------------------------
+# 5. O9 bbox provenance reaches the chunk table end-to-end
+# ---------------------------------------------------------------------------
+
+
+def test_bbox_reaches_chunk_output(spark, sf_dir):
+    from deepdoc_api_spark.job.pipeline import chunk_documents, spans_from_documents
+
+    spans = spans_from_documents(spark, sf_dir, limit=30)
+    chunks = chunk_documents(spans, "hybrid").select("bbox", "extractor_used")
+    rows = chunks.collect()
+    assert rows
+    with_bbox = [r for r in rows if r["bbox"] is not None]
+    assert with_bbox, "no chunk carries bbox provenance"
+    for r in with_bbox[:200]:
+        b = r["bbox"]
+        assert b["width"] == b["right"] - b["left"]
+        assert b["height"] == b["bottom"] - b["top"]
+        assert b["area"] == b["width"] * b["height"]
+
+
+def test_bbox_kernel_first_record_wins():
+    from deepdoc_api_spark.kernels.bbox import span_bbox
+    from deepdoc_api_spark.kernels.chunkers import hybrid_chunks
+    from deepdoc_api_spark.kernels.layout import extract_records
+
+    spans = [
+        {"kind": "text", "text": "first block body words", "media_ref": "", "offset": 10},
+        {"kind": "text", "text": "second block body words", "media_ref": "", "offset": 20},
+    ]
+    records = extract_records(spans)
+    chunks = hybrid_chunks(records, budget=512)
+    # both text records merge into one chunk; bbox = FIRST record's
+    assert len(chunks) == 1
+    assert chunks[0]["bbox"] == span_bbox(10)
