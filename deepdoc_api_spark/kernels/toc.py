@@ -1,5 +1,15 @@
 """TOC (section-header-driven) chunker — K3.
 
+Provenance: ``process_sections`` and parts of ``get_sections`` are
+ADAPTED FROM the reference implementation
+(``/root/reference/app/toc_chunker.py:30-73,75-158``, TrueSelph/
+deepdoc_api, Apache-2.0) — deliberately close to the original control
+flow, variable names included, because the contract here is exact
+observable equality with that code, down to its remove-while-iterating
+quirk (pinned by a 60-seed differential suite executing the reference
+itself). The surrounding record-sequence adaptation, parameterization,
+and dispatch are new.
+
 Re-implements the observable semantics of the reference's custom
 ``TOCChunker`` (``/root/reference/app/toc_chunker.py``) over the
 engine's normalized block-record sequence instead of a DoclingDocument:

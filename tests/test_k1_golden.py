@@ -1,0 +1,96 @@
+"""K1 hybrid-chunker boundary semantics — golden cases.
+
+docling is absent from this environment, so the K1 re-specification's
+three boundary decisions (the likely divergence points a future docling
+differential would probe) are pinned here explicitly as THE spec:
+
+G1. **Heading context counts against the token budget.** An element
+    whose body alone fits but whose contextualized text (headings +
+    body) exceeds the budget MUST split — docling's HybridChunker
+    tokenizes the contextualized serialization.
+G2. **Exactly-at-budget merges are allowed.** The merge predicate is
+    ``ctx + prev + el <= budget`` (inclusive), so a merge landing
+    exactly on the budget succeeds and the NEXT element starts a new
+    chunk.
+G3. **A single oversized element splits on word boundaries** into
+    pieces whose contextualized token count each fits the budget;
+    pieces re-join words with single spaces; every piece repeats the
+    heading context.
+G4. **Piece capacity is floored at 32 body tokens** (``avail =
+    max(budget - ctx, 32)``): a heading stack near or above the budget
+    must not drive capacity to zero (infinite/degenerate splits) — the
+    split keeps making progress at ≥32 tokens per piece even when
+    context alone exhausts the budget.
+"""
+
+from deepdoc_api_spark.kernels.chunkers import hybrid_chunks
+from deepdoc_api_spark.kernels.tokenizer import count_tokens
+
+
+def rec(kind, content, page=1):
+    return {
+        "kind": kind,
+        "content": content,
+        "media_ref": "",
+        "page": page,
+        "offset": page * 1000,
+    }
+
+
+def test_g1_context_counts_against_budget():
+    heading = "Heading Words Here"  # 3 tokens
+    body = " ".join(f"w{i}" for i in range(40))  # 40 tokens
+    assert count_tokens(heading) == 3 and count_tokens(body) == 40
+
+    # budget 42: body alone (40) fits, context+body (43) does not → split
+    chunks = hybrid_chunks([rec("title", heading), rec("text", body)], budget=42)
+    assert len(chunks) > 1, "context tokens were not charged to the budget"
+    for ch in chunks:
+        assert count_tokens(ch["text"]) <= 42
+
+    # budget 43: context+body exactly fits → single chunk
+    chunks = hybrid_chunks([rec("title", heading), rec("text", body)], budget=43)
+    assert len(chunks) == 1
+    assert chunks[0]["text"] == heading + "\n" + body
+
+
+def test_g2_exactly_at_budget_merge_allowed():
+    a = " ".join(f"a{i}" for i in range(6))  # 6 tokens
+    b = " ".join(f"b{i}" for i in range(6))  # 6 tokens
+    c = "c0"  # 1 token
+    # budget 12: a+b merges to exactly 12 (allowed, inclusive); c cannot
+    # join (13 > 12) and starts the next chunk
+    chunks = hybrid_chunks([rec("text", a), rec("text", b), rec("text", c)], budget=12)
+    assert [ch["text"] for ch in chunks] == [a + "\n" + b, c]
+
+
+def test_g3_single_oversized_element_splits_on_words():
+    heading = "Top"  # 1 token of context on every piece
+    words = [f"word{i}" for i in range(100)]
+    chunks = hybrid_chunks(
+        [rec("title", heading), rec("text", " ".join(words))], budget=41
+    )
+    # avail per piece = 41 - 1 = 40 words → 3 pieces of 40/40/20
+    assert len(chunks) == 3
+    got_words = []
+    for ch in chunks:
+        head, _, body = ch["text"].partition("\n")
+        assert head == heading, "piece lost its heading context"
+        piece_words = body.split(" ")
+        assert len(piece_words) <= 40
+        got_words.extend(piece_words)
+    assert got_words == words, "split must preserve word order and content"
+
+
+def test_g4_capacity_floor_under_heading_pressure():
+    # heading consumes the whole budget; pieces still carry 32 tokens
+    heading = " ".join(f"h{i}" for i in range(40))  # 40 tokens > budget
+    words = [f"word{i}" for i in range(64)]
+    chunks = hybrid_chunks(
+        [rec("title", heading), rec("text", " ".join(words))], budget=36
+    )
+    assert len(chunks) == 2  # 64 words at floor-32 capacity → 32/32
+    for ch in chunks:
+        head, _, body = ch["text"].partition("\n")
+        assert head == heading
+        assert len(body.split(" ")) == 32
