@@ -99,11 +99,16 @@ def run_bench(sf_dir: str, cpus: int, replicate: int) -> dict:
             chunk_documents(spans, ct).count()
             timings[name] = round(time.monotonic() - t0, 3)
 
+        from deepdoc_api_spark.ops import fallback_text
+
         for name, fn in (
             ("dedup_minhash_lsh", dedup.lsh_band_buckets),
             ("dedup_jaccard_pairs", dedup.jaccard_near_dup_pairs),
             ("dedup_simhash", dedup.simhash16),
+            ("dedup_simhash64_pairs", dedup.simhash_near_dup_pairs),
+            ("embedding_near_dup", similarity.embedding_near_dup_pairs),
             ("ann_topk_cosine", similarity.brute_force_topk),
+            ("fallback_window", fallback_text.fallback_window_chunks),
             ("text_quality_lang", None),
         ):
             t0 = time.monotonic()

@@ -24,6 +24,7 @@ differential test executes the reference's own
 
 from __future__ import annotations
 
+from functools import lru_cache
 from typing import Dict, Optional
 
 #: within-page coordinate space of the synthetic provenance
@@ -123,6 +124,13 @@ def normalize_bbox(obj: Optional[Dict]) -> Optional[Dict]:
     return None
 
 
+@lru_cache(maxsize=65536)
 def span_bbox(offset: int) -> Optional[Dict]:
-    """Canonical bbox of a span: synthesize raw provenance, normalize."""
+    """Canonical bbox of a span: synthesize raw provenance, normalize.
+
+    Memoized per worker: offsets are small integers that repeat heavily
+    across documents, and the returned dict is never mutated downstream
+    (chunks reference it read-only), so sharing instances is safe and
+    drops the per-record synthesis+probing cost from the hot kernel.
+    """
     return normalize_bbox(raw_bbox(offset))
