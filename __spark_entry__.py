@@ -133,6 +133,22 @@ def _q_fallback_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fallback_window_chunks(spark, sf_dir)
 
 
+def _q_hier_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deepdoc_api_spark.job.session import ship_package
+    from deepdoc_api_spark.ops.flat_pipeline import hierarchical_flat_chunks
+
+    ship_package(spark)
+    return hierarchical_flat_chunks(spark, sf_dir)
+
+
+def _q_mineru_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deepdoc_api_spark.job.session import ship_package
+    from deepdoc_api_spark.ops.flat_pipeline import mineru_flat_chunks
+
+    ship_package(spark)
+    return mineru_flat_chunks(spark, sf_dir)
+
+
 def _q_media_kind_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     from deepdoc_api_spark.job.pipeline import spans_from_documents
     from deepdoc_api_spark.job.session import ship_package
@@ -157,6 +173,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # pipeline-family query with a full DuckDB oracle (the kernel's
         # window arithmetic re-derived independently in a recursive CTE)
         "fallback_window_chunks": _q_fallback_window,
+        # K2 + the mineru layout fold (O4/O5/O6/K4/K6) on a flat-title
+        # record class where the fold is relationally expressible — the
+        # real kernels run on Spark, DuckDB re-derives the fold with
+        # window SQL (independent oracle for the fold semantics)
+        "hierarchical_flat_chunks": _q_hier_flat,
+        "mineru_flat_chunks": _q_mineru_flat,
         "chunk_stats_per_doc": _q_chunk_stats,
         "span_kind_histogram": _q_span_kind_histogram,
         # --- multimodal plumbing (rows-only; decode is a spec'd stub)
@@ -192,8 +214,12 @@ def oracle_sql() -> dict[str, str]:
     from deepdoc_api_spark.ops import dedup, similarity, text_analysis
     from deepdoc_api_spark.ops.fallback_text import fallback_window_chunks_sql
 
+    from deepdoc_api_spark.ops import flat_pipeline
+
     return {
         "fallback_window_chunks": fallback_window_chunks_sql(),
+        "hierarchical_flat_chunks": flat_pipeline.HIERARCHICAL_FLAT_SQL,
+        "mineru_flat_chunks": flat_pipeline.MINERU_FLAT_SQL,
         "token_count": text_analysis.TOKEN_COUNT_SQL,
         "quality_score": text_analysis.QUALITY_SCORE_SQL,
         "lang_id": text_analysis.LANG_ID_SQL,

@@ -1,0 +1,323 @@
+"""Externally-oracle'd pipeline queries over a FLAT-title record stream.
+
+The main span corpus is RNG-generated (not SQL-expressible), so the
+five ``extract_chunks_*`` queries can only get rows-only external
+checks; their strong oracle is the in-repo differential suites. This
+module closes the gap for a *restricted but real* input class: a
+record stream with level-1 titles only and no adjacent headers,
+generated from ``documents.text`` by pure index arithmetic — identical
+in Spark SQL and DuckDB SQL. On that class:
+
+* **K2 (hierarchical chunker)** reduces to window SQL: the heading
+  snapshot is the last title at-or-before each text record
+  (``last_value IGNORE NULLS``), contextualization is a string concat.
+* **The mineru layout fold (O4/O5/O6) + K4 + K6** reduces to
+  relational form: repeated-header suppression is a
+  ``GROUP BY content HAVING count(*) > 3`` blacklist, the hierarchy
+  stack degenerates to "last accepted title" (titles are always
+  preceded by texts, so the stack never exceeds depth 1 — verified
+  against ``layout.format_records``'s exact control flow), and the
+  adjacent-text merge is classic sessionization (segment id = running
+  title count, ``string_agg`` within segment, ``first - last`` page
+  range labels).
+
+The Spark side runs the REAL kernels (``hierarchical_chunks`` /
+``format_records → mineru_chunks`` / ``assemble_chunks``) via
+``mapInPandas``; the DuckDB oracle re-derives the same output
+relationally — an independent re-implementation, so a hash match
+certifies the fold semantics themselves (reference:
+``/root/reference/app/mineru_adapter/layout_processor.py:131-176``,
+``app/processing.py:985-1023,1543-1589``).
+
+Generator spec (shared; all arithmetic on the group index ``i``):
+
+* content words: ``documents.text`` replicated ``REPLICAS`` times
+  (space-joined) → word groups of ``GROUP_WORDS``;
+* every ``TITLE_EVERY``-th group is a title, others are texts —
+  guaranteeing >= 3 texts between titles (no adjacent headers);
+* title content: every ``REPEAT_EVERY``-th title is the constant
+  ``REPEAT_HDR`` (long docs exceed the >3 suppression threshold, short
+  docs stay below — both fold branches exercised), otherwise
+  ``'H{i} ' + group`` (the ``H`` prefix keeps titles un-numbered →
+  level 1, and distinct from any text);
+* page = ``i // PAGE_EVERY + 1`` (merged runs cross pages → range
+  labels).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+GROUP_WORDS = 8
+TITLE_EVERY = 4
+PAGE_EVERY = 6
+REPLICAS = 9
+REPEAT_EVERY = 3
+REPEAT_HDR = "REPEAT HDR"
+
+_REC_DDL = "doc_id bigint, recs array<struct<seq:int,kind:string,content:string,page:int>>"
+
+HIER_FLAT_DDL = (
+    "doc_id bigint, chunk_index int, kind string, text string, "
+    "heading string, page int, chunk_size bigint"
+)
+
+MINERU_FLAT_DDL = (
+    "doc_id bigint, chunk_index int, kind string, text string, "
+    "hierarchy string, pages string, chunk_size bigint"
+)
+
+
+def _records_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, recs) — the flat-title record stream, generated with
+    JVM-side expressions only (no Python in the generation plan)."""
+    n = spark.sparkContext.defaultParallelism * 2
+    docs = (
+        spark.read.parquet(f"{sf_dir.rstrip('/')}/documents.parquet")
+        .select("doc_id", "text")
+        .repartition(n, "doc_id")
+    )
+    rep = " || ' ' || ".join(["trim(text)"] * REPLICAS)
+    return docs.selectExpr(
+        "doc_id", f"split({rep}, '\\\\s+') as ws"
+    ).selectExpr(
+        "doc_id",
+        f"""
+        transform(sequence(0, cast(ceil(size(ws) / {GROUP_WORDS}.0) as int) - 1),
+          i -> named_struct(
+            'seq', i,
+            'kind', case when i % {TITLE_EVERY} = 0 then 'title' else 'text' end,
+            'content', case
+                when i % {TITLE_EVERY} = 0 and (i div {TITLE_EVERY}) % {REPEAT_EVERY} = 0
+                  then '{REPEAT_HDR}'
+                when i % {TITLE_EVERY} = 0
+                  then concat('H', cast(i as string), ' ',
+                              concat_ws(' ', slice(ws, i * {GROUP_WORDS} + 1, {GROUP_WORDS})))
+                else concat_ws(' ', slice(ws, i * {GROUP_WORDS} + 1, {GROUP_WORDS}))
+              end,
+            'page', cast(i div {PAGE_EVERY} as int) + 1))
+        as recs
+        """,
+    )
+
+
+def _records_sql_cte() -> str:
+    """DuckDB twin of :func:`_records_spark` → CTE ``r(doc_id, seq,
+    kind, content, page)`` (exploded rows)."""
+    rep = " || ' ' || ".join(["trim(text)"] * REPLICAS)
+    return f"""
+w AS (SELECT doc_id, regexp_split_to_array({rep}, '\\s+') AS ws FROM documents),
+idx AS (SELECT doc_id, ws, unnest(range(0, CAST(ceil(len(ws) / {GROUP_WORDS}.0) AS INTEGER))) AS i FROM w),
+r AS (
+  SELECT doc_id, i AS seq,
+    CASE WHEN i % {TITLE_EVERY} = 0 THEN 'title' ELSE 'text' END AS kind,
+    CASE
+      WHEN i % {TITLE_EVERY} = 0 AND (i // {TITLE_EVERY}) % {REPEAT_EVERY} = 0
+        THEN '{REPEAT_HDR}'
+      WHEN i % {TITLE_EVERY} = 0
+        THEN 'H' || i || ' ' ||
+             array_to_string(ws[i * {GROUP_WORDS} + 1 : i * {GROUP_WORDS} + {GROUP_WORDS}], ' ')
+      ELSE array_to_string(ws[i * {GROUP_WORDS} + 1 : i * {GROUP_WORDS} + {GROUP_WORDS}], ' ')
+    END AS content,
+    (i // {PAGE_EVERY}) + 1 AS page
+  FROM idx
+)"""
+
+
+def _to_kernel_records(recs) -> list:
+    return [
+        {
+            "kind": r["kind"],
+            "content": r["content"],
+            "media_ref": "",
+            "page": int(r["page"]),
+            "offset": int(r["seq"]),
+        }
+        for r in recs
+    ]
+
+
+# ---------------------------------------------------------------------------
+# K2 hierarchical chunker — real kernel vs window-SQL oracle
+# ---------------------------------------------------------------------------
+
+
+def hierarchical_flat_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    recs_df = _records_spark(spark, sf_dir)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from deepdoc_api_spark.kernels.chunkers import (
+            assemble_chunks,
+            hierarchical_chunks,
+        )
+
+        for pdf in batches:
+            rows = []
+            for doc_id, recs in zip(pdf["doc_id"], pdf["recs"]):
+                records = _to_kernel_records(recs if recs is not None else [])
+                chunks = assemble_chunks(
+                    str(doc_id), hierarchical_chunks(records), "hierarchical"
+                )
+                for ch in chunks:
+                    rows.append(
+                        (
+                            int(doc_id),
+                            ch["chunk_index"],
+                            ch["kind"],
+                            ch["text"],
+                            (ch["headings"] or [None])[-1] if ch["headings"] else None,
+                            int(ch["pages"][0]),
+                            ch["chunk_size"],
+                        )
+                    )
+            if rows:
+                yield pd.DataFrame(
+                    rows,
+                    columns=[
+                        "doc_id", "chunk_index", "kind", "text",
+                        "heading", "page", "chunk_size",
+                    ],
+                )
+
+    return recs_df.mapInPandas(run, HIER_FLAT_DDL)
+
+
+HIERARCHICAL_FLAT_SQL = f"""
+WITH {_records_sql_cte()},
+h AS (
+  SELECT doc_id, seq, kind, content, page,
+         last_value(CASE WHEN kind = 'title' THEN content END IGNORE NULLS)
+           OVER (PARTITION BY doc_id ORDER BY seq
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS heading
+  FROM r
+)
+SELECT doc_id,
+       (row_number() OVER (PARTITION BY doc_id ORDER BY seq) - 1)::INTEGER
+         AS chunk_index,
+       'text' AS kind,
+       CASE WHEN heading IS NULL THEN content
+            ELSE heading || chr(10) || content END AS text,
+       heading,
+       page::INTEGER AS page,
+       length(CASE WHEN heading IS NULL THEN content
+                   ELSE heading || chr(10) || content END)::BIGINT AS chunk_size
+FROM h WHERE kind = 'text'
+"""
+
+
+# ---------------------------------------------------------------------------
+# mineru fold (O4/O5/O6) + K4 + K6 — real kernels vs relational oracle
+# ---------------------------------------------------------------------------
+
+
+def mineru_flat_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    recs_df = _records_spark(spark, sf_dir)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import json
+
+        from deepdoc_api_spark.kernels.chunkers import assemble_chunks, mineru_chunks
+
+        for pdf in batches:
+            rows = []
+            for doc_id, recs in zip(pdf["doc_id"], pdf["recs"]):
+                records = _to_kernel_records(recs if recs is not None else [])
+                chunks = assemble_chunks(
+                    str(doc_id), mineru_chunks(records, str(doc_id)), "mineru"
+                )
+                for ch in chunks:
+                    rows.append(
+                        (
+                            int(doc_id),
+                            ch["chunk_index"],
+                            ch["kind"],
+                            ch["text"],
+                            " >> ".join(ch["hierarchy"] or []),
+                            json.dumps(ch["pages"], separators=(",", ":")),
+                            ch["chunk_size"],
+                        )
+                    )
+            if rows:
+                yield pd.DataFrame(
+                    rows,
+                    columns=[
+                        "doc_id", "chunk_index", "kind", "text",
+                        "hierarchy", "pages", "chunk_size",
+                    ],
+                )
+
+    return recs_df.mapInPandas(run, MINERU_FLAT_DDL)
+
+
+MINERU_FLAT_SQL = f"""
+WITH {_records_sql_cte()},
+-- O4: contents of title/text records occurring > 3 times per doc are
+-- blacklisted FROM THE HIERARCHY (layout_processor.py:131-134); all
+-- records here are title/text so the count covers every record
+supp AS (
+  SELECT doc_id, content FROM r GROUP BY doc_id, content HAVING count(*) > 3
+),
+f AS (
+  SELECT r.doc_id, r.seq, r.kind, r.content, r.page,
+         (r.kind = 'title' AND s.content IS NOT NULL) AS suppressed,
+         (r.kind = 'title' AND s.content IS NULL) AS accepted_title
+  FROM r LEFT JOIN supp s ON s.doc_id = r.doc_id AND s.content = r.content
+),
+-- O5 on the flat-title class: the stack is exactly [last accepted
+-- title] (titles always follow texts, so each accepted title pops the
+-- previous one — format_records:142-153 traced on this input class)
+g AS (
+  SELECT *,
+         last_value(CASE WHEN accepted_title THEN content END IGNORE NULLS)
+           OVER (PARTITION BY doc_id ORDER BY seq
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hier,
+         -- adjacency segments: EVERY title record (accepted or
+         -- suppressed) resets last_type and breaks a text run
+         sum(CASE WHEN kind = 'title' THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY seq
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seg
+  FROM f
+),
+-- suppressed titles fall through to the else-branch of the fold: one
+-- standalone formatted record of type 'title' with the hierarchy
+-- prefix (format_records else-arm; titles never merge on this class)
+sup_rec AS (
+  SELECT doc_id, seq AS ord, 'title' AS kind,
+         coalesce(hier, '') || chr(10) || content AS content,
+         coalesce(hier, '') AS hierarchy,
+         page AS p_first, page AS p_last
+  FROM g WHERE suppressed
+),
+-- O6: maximal text runs merge into one record; content = hierarchy
+-- prefix + first text + '\\n'-joined rest; page label 'first - last'
+txt_rec AS (
+  SELECT doc_id, min(seq) AS ord, 'text' AS kind,
+         coalesce(min(hier), '') || chr(10) ||
+           string_agg(content, chr(10) ORDER BY seq) AS content,
+         coalesce(min(hier), '') AS hierarchy,
+         min(page) AS p_first, max(page) AS p_last
+  FROM g WHERE kind = 'text'
+  GROUP BY doc_id, seg
+),
+fold AS (SELECT * FROM sup_rec UNION ALL SELECT * FROM txt_rec),
+-- K4: text = doc_name >> stripped content; K6: pages json, sizes, index
+chunks AS (
+  SELECT doc_id, ord, kind,
+         doc_id::VARCHAR || ' >> ' || trim(content, ' ' || chr(10)) AS text,
+         hierarchy,
+         '[' || array_to_string(
+           list_transform(range(p_first, p_last + 1), x -> x::VARCHAR), ',')
+           || ']' AS pages
+  FROM fold
+  WHERE length(trim(content, ' ' || chr(10))) > 0
+)
+SELECT doc_id,
+       (row_number() OVER (PARTITION BY doc_id ORDER BY ord) - 1)::INTEGER
+         AS chunk_index,
+       kind, text, hierarchy, pages,
+       length(text)::BIGINT AS chunk_size
+FROM chunks
+"""

@@ -220,3 +220,26 @@ def test_bbox_kernel_first_record_wins():
     # both text records merge into one chunk; bbox = FIRST record's
     assert len(chunks) == 1
     assert chunks[0]["bbox"] == span_bbox(10)
+
+
+# ---------------------------------------------------------------------------
+# 6. flat-title oracle queries must actually exercise the fold branches
+#    (a vacuous input would make the external hash check meaningless)
+# ---------------------------------------------------------------------------
+
+
+def test_mineru_flat_oracle_exercises_fold_branches(sf_dir):
+    import duckdb
+
+    import __spark_entry__ as entry_mod
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM"
+        f" read_parquet('{sf_dir}/documents.parquet')"
+    )
+    df = con.execute(entry_mod.oracle_sql()["mineru_flat_chunks"]).df()
+    assert (df["kind"] == "title").any(), "O4 suppression never fired"
+    assert df["pages"].str.contains(",").any(), "O6 page-range merge never fired"
+    assert (df["hierarchy"] == "").any(), "pre-first-title records missing"
+    assert (df["hierarchy"] != "").any(), "hierarchy snapshot never set"
