@@ -149,6 +149,14 @@ def _q_mineru_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mineru_flat_chunks(spark, sf_dir)
 
 
+def _q_toc_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deepdoc_api_spark.job.session import ship_package
+    from deepdoc_api_spark.ops.flat_pipeline import toc_flat_chunks
+
+    ship_package(spark)
+    return toc_flat_chunks(spark, sf_dir)
+
+
 def _q_media_kind_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     from deepdoc_api_spark.job.pipeline import spans_from_documents
     from deepdoc_api_spark.job.session import ship_package
@@ -179,6 +187,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # window SQL (independent oracle for the fold semantics)
         "hierarchical_flat_chunks": _q_hier_flat,
         "mineru_flat_chunks": _q_mineru_flat,
+        "toc_flat_chunks": _q_toc_flat,
         "chunk_stats_per_doc": _q_chunk_stats,
         "span_kind_histogram": _q_span_kind_histogram,
         # --- multimodal plumbing (rows-only; decode is a spec'd stub)
@@ -220,6 +229,7 @@ def oracle_sql() -> dict[str, str]:
         "fallback_window_chunks": fallback_window_chunks_sql(),
         "hierarchical_flat_chunks": flat_pipeline.HIERARCHICAL_FLAT_SQL,
         "mineru_flat_chunks": flat_pipeline.MINERU_FLAT_SQL,
+        "toc_flat_chunks": flat_pipeline.TOC_FLAT_SQL,
         "token_count": text_analysis.TOKEN_COUNT_SQL,
         "quality_score": text_analysis.QUALITY_SCORE_SQL,
         "lang_id": text_analysis.LANG_ID_SQL,

@@ -175,17 +175,28 @@ def get_sections(
 
     # duplicate-section removal — toc_chunker.py:140-154. The reference
     # removes from `results` while iterating it; that skip-on-remove
-    # behavior is observable and reproduced here on purpose.
-    section_names = []
-    for item in results:
-        section_names.append(re.sub(pattern, "", item["name"]).strip())
-    section_counts = Counter(section_names)
+    # behavior is observable and reproduced here on purpose — but NOT
+    # its cost: the reference recomputes the cleaned name for every
+    # item × every repeated name (1.6M re.sub calls on a 20k-span doc,
+    # the dominant TOC straggler term). Cleaned names are computed once
+    # (items are never mutated, only removed), and the iterate-and-
+    # remove quirk is emulated exactly: removing at position i makes
+    # the reference's iterator skip the element that slides into i
+    # (descriptors are unique — `idx` differs — so list.remove(item)
+    # removed precisely the current element).
+    cleaned: Dict[int, str] = {
+        id(item): re.sub(pattern, "", item["name"]).strip() for item in results
+    }
+    section_counts = Counter(cleaned[id(item)] for item in results)
     for section_name, count in section_counts.items():
         if count >= max_repeats:
-            for item in results:  # noqa: B909 — intentional mutation-in-loop
-                cleaned_item = re.sub(pattern, "", item["name"]).strip()
-                if cleaned_item == section_name:
-                    results.remove(item)
+            i = 0
+            while i < len(results):
+                if cleaned[id(results[i])] == section_name:
+                    del results[i]
+                    i += 1  # reference iterator skips the slid-in element
+                else:
+                    i += 1
 
     return process_sections(results, pattern)
 
@@ -208,6 +219,34 @@ def toc_chunks(
     if not isinstance(sections, list):
         sections = []
 
+    # One-pass indexes replacing the reference's per-section rescan of
+    # the whole record list (O(sections × records) — a quadratic
+    # straggler on giant documents; a 20k-span doc with ~2.4k sections
+    # costs ~5×10^7 record visits). Semantics are IDENTICAL to the
+    # rescan (pinned by the 60-seed reference differential):
+    # * gather = non-media records strictly after the header until the
+    #   first title of same-or-higher level (deeper titles contribute
+    #   their content);
+    # * break search touches only TITLE records (early-exit), content
+    #   extraction is a bisected slice of the non-media content list.
+    import bisect
+
+    title_pos: List[int] = []
+    title_lvl: List[int] = []
+    content_pos: List[int] = []
+    content_vals: List[str] = []
+    for i, rec in enumerate(records):
+        if rec["kind"] == "title":
+            title_pos.append(i)
+            title_lvl.append(_title_level(rec["content"], pattern))
+            content_pos.append(i)
+            content_vals.append(rec["content"])
+        elif rec["kind"] != "media":  # no .text on picture items
+            content_pos.append(i)
+            content_vals.append(rec["content"])
+
+    n_records = len(records)
+
     chunks: List[Dict] = []
     for section in sections:
         section_name = section["name"]
@@ -216,18 +255,17 @@ def toc_chunks(
         start_idx = section["idx"]
         hierarchy = section["hierarchy"]
 
-        section_content: List[str] = []
-        for rec in records[start_idx + 1 :]:
-            if rec["kind"] == "title":
-                lvl = _title_level(rec["content"], pattern)
-                if lvl <= current_level:
-                    break
-                # deeper headers contribute text (hasattr(item,"text"))
-                section_content.append(rec["content"])
-            elif rec["kind"] == "media":
-                continue  # no .text on picture items — skipped
-            else:
-                section_content.append(rec["content"])
+        end_idx = n_records
+        t = bisect.bisect_right(title_pos, start_idx)
+        while t < len(title_pos):
+            if title_lvl[t] <= current_level:
+                end_idx = title_pos[t]
+                break
+            t += 1
+
+        lo = bisect.bisect_right(content_pos, start_idx)
+        hi = bisect.bisect_left(content_pos, end_idx, lo)
+        section_content = content_vals[lo:hi]
 
         text_content = "\n\n".join(section_content).strip()
         if not text_content:

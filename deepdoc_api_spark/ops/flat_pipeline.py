@@ -321,3 +321,135 @@ SELECT doc_id,
        length(text)::BIGINT AS chunk_size
 FROM chunks
 """
+
+
+# ---------------------------------------------------------------------------
+# K3 TOC chunker — real kernel vs sessionization oracle
+# ---------------------------------------------------------------------------
+#
+# Restricted class: every title is numbered with a DISTINCT single-level
+# number and a globally-unique marker word ('{j} U{j} ...'), so the
+# reference's duplicate-section removal (cleaned-name count >= 2),
+# continuation repair (un-numbered headers), and same-number merge never
+# fire — those quirks keep their 60-seed differential suite as the
+# oracle. What remains is K3's core: section = title, content = records
+# until the next same-or-higher-level header, text = name + "\n" +
+# "\n\n"-joined contents, empty sections skipped — relational.
+
+TOC_FLAT_DDL = (
+    "doc_id bigint, chunk_index int, text string, heading string, "
+    "page int, chunk_size bigint"
+)
+
+
+def _toc_records_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = spark.sparkContext.defaultParallelism * 2
+    docs = (
+        spark.read.parquet(f"{sf_dir.rstrip('/')}/documents.parquet")
+        .select("doc_id", "text")
+        .repartition(n, "doc_id")
+    )
+    rep = " || ' ' || ".join(["trim(text)"] * REPLICAS)
+    return docs.selectExpr(
+        "doc_id", f"split({rep}, '\\\\s+') as ws"
+    ).selectExpr(
+        "doc_id",
+        f"""
+        transform(sequence(0, cast(ceil(size(ws) / {GROUP_WORDS}.0) as int) - 1),
+          i -> named_struct(
+            'seq', i,
+            'kind', case when i % {TITLE_EVERY} = 0 then 'title' else 'text' end,
+            'content', case
+                when i % {TITLE_EVERY} = 0
+                  then concat(cast(i div {TITLE_EVERY} + 1 as string),
+                              ' U', cast(i div {TITLE_EVERY} + 1 as string), ' ',
+                              concat_ws(' ', slice(ws, i * {GROUP_WORDS} + 1, {GROUP_WORDS})))
+                else concat_ws(' ', slice(ws, i * {GROUP_WORDS} + 1, {GROUP_WORDS}))
+              end,
+            'page', cast(i div {PAGE_EVERY} as int) + 1))
+        as recs
+        """,
+    )
+
+
+def _toc_records_sql_cte() -> str:
+    rep = " || ' ' || ".join(["trim(text)"] * REPLICAS)
+    return f"""
+w AS (SELECT doc_id, regexp_split_to_array({rep}, '\\s+') AS ws FROM documents),
+idx AS (SELECT doc_id, ws, unnest(range(0, CAST(ceil(len(ws) / {GROUP_WORDS}.0) AS INTEGER))) AS i FROM w),
+r AS (
+  SELECT doc_id, i AS seq,
+    CASE WHEN i % {TITLE_EVERY} = 0 THEN 'title' ELSE 'text' END AS kind,
+    CASE
+      WHEN i % {TITLE_EVERY} = 0
+        THEN (i // {TITLE_EVERY} + 1) || ' U' || (i // {TITLE_EVERY} + 1) || ' ' ||
+             array_to_string(ws[i * {GROUP_WORDS} + 1 : i * {GROUP_WORDS} + {GROUP_WORDS}], ' ')
+      ELSE array_to_string(ws[i * {GROUP_WORDS} + 1 : i * {GROUP_WORDS} + {GROUP_WORDS}], ' ')
+    END AS content,
+    (i // {PAGE_EVERY}) + 1 AS page
+  FROM idx
+)"""
+
+
+def toc_flat_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    recs_df = _toc_records_spark(spark, sf_dir)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from deepdoc_api_spark.kernels.chunkers import assemble_chunks
+        from deepdoc_api_spark.kernels.toc import toc_chunks
+
+        for pdf in batches:
+            rows = []
+            for doc_id, recs in zip(pdf["doc_id"], pdf["recs"]):
+                records = _to_kernel_records(recs if recs is not None else [])
+                chunks = assemble_chunks(str(doc_id), toc_chunks(records), "toc")
+                for ch in chunks:
+                    rows.append(
+                        (
+                            int(doc_id),
+                            ch["chunk_index"],
+                            ch["text"],
+                            (ch["headings"] or [None])[0],
+                            int(ch["pages"][0]),
+                            ch["chunk_size"],
+                        )
+                    )
+            if rows:
+                yield pd.DataFrame(
+                    rows,
+                    columns=[
+                        "doc_id", "chunk_index", "text", "heading",
+                        "page", "chunk_size",
+                    ],
+                )
+
+    return recs_df.mapInPandas(run, TOC_FLAT_DDL)
+
+
+TOC_FLAT_SQL = f"""
+WITH {_toc_records_sql_cte()},
+g AS (
+  SELECT *,
+         sum(CASE WHEN kind = 'title' THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY seq
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seg
+  FROM r
+),
+sections AS (
+  SELECT doc_id, seg, min(seq) AS ord,
+         max(CASE WHEN kind = 'title' THEN content END) AS name,
+         max(CASE WHEN kind = 'title' THEN page END) AS page,
+         string_agg(CASE WHEN kind = 'text' THEN content END,
+                    chr(10) || chr(10) ORDER BY seq) AS body
+  FROM g GROUP BY doc_id, seg
+)
+SELECT doc_id,
+       (row_number() OVER (PARTITION BY doc_id ORDER BY ord) - 1)::INTEGER
+         AS chunk_index,
+       name || chr(10) || body AS text,
+       name AS heading,
+       page::INTEGER AS page,
+       length(name || chr(10) || body)::BIGINT AS chunk_size
+FROM sections
+WHERE body IS NOT NULL AND length(trim(body, ' ' || chr(10))) > 0
+"""
