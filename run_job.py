@@ -46,6 +46,12 @@ def main() -> None:
     ap.add_argument("--replicate", type=int, default=1)
     ap.add_argument("--status", action="store_true",
                     help="print progress table for --output and exit")
+    ap.add_argument(
+        "--rebuild", action="store_true",
+        help="discard checkpoint state recorded for a DIFFERENT input "
+        "snapshot or bucket count (the default refuses, since stale "
+        "progress would mix old chunks into the output)",
+    )
     args = ap.parse_args()
     if not args.status and not (args.input or args.generate_from):
         ap.error("one of --input / --generate-from is required (unless --status)")
@@ -87,6 +93,7 @@ def main() -> None:
         token_budget=args.token_budget,
         num_buckets=args.buckets,
         input_snapshot=snapshot,
+        on_mismatch="rebuild" if args.rebuild else "refuse",
     )
     print(json.dumps(summary))
 
