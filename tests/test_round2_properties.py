@@ -1,0 +1,101 @@
+"""Round-2 property tests.
+
+1. SimHash banded blocking is recall-EXACT at hamming ≤ 3 (pigeonhole:
+   3 flipped bits dirty at most 3 of the 4 16-bit bands), modulo the
+   documented frequent-bucket suppression — verified against a
+   brute-force all-pairs hamming scan.
+2. The HTML scanner never raises and stays deterministic on arbitrary
+   garbage (the fallback-to-stripped-text path is reserved for real
+   pathologies, not tripped by fuzz).
+"""
+
+from collections import defaultdict
+
+import pytest
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    HAVE_HYP = True
+except Exception:  # pragma: no cover
+    HAVE_HYP = False
+
+from deepdoc_api_spark.kernels.html_extract import extract_html_blocks
+
+
+def test_simhash_banding_recall_exact_modulo_suppression(spark, sf_dir):
+    from deepdoc_api_spark.ops import dedup
+
+    words = {
+        r["doc_id"]: (r["w0"], r["w1"], r["w2"], r["w3"])
+        for r in dedup.simhash_words(spark, sf_dir).collect()
+    }
+    banded = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.simhash_near_dup_pairs(spark, sf_dir).collect()
+    }
+
+    # brute force: all pairs with 64-bit hamming <= 3
+    ids = sorted(words)
+    brute = set()
+    for i, a in enumerate(ids):
+        wa = words[a]
+        for b in ids[i + 1 :]:
+            wb = words[b]
+            h = sum(bin(x ^ y).count("1") for x, y in zip(wa, wb))
+            if h <= 3:
+                brute.add((a, b))
+
+    # no false positives
+    assert banded <= brute, f"banded produced non-qualifying pairs: {banded - brute}"
+
+    # every missing pair must be explained by bucket suppression: each
+    # band the pair shares must be over MAX_BUCKET_DOCS (or singleton,
+    # impossible for a shared band)
+    buckets = defaultdict(int)
+    for d, w in words.items():
+        for k in range(4):
+            buckets[(k, w[k])] += 1
+    for a, b in brute - banded:
+        shared = [k for k in range(4) if words[a][k] == words[b][k]]
+        assert shared, f"hamming<=3 pair {a},{b} shares no band (pigeonhole broken)"
+        assert all(
+            buckets[(k, words[a][k])] > dedup.MAX_BUCKET_DOCS for k in shared
+        ), f"pair {a},{b} lost without suppression cause"
+
+
+@pytest.mark.skipif(not HAVE_HYP, reason="hypothesis unavailable")
+@settings(max_examples=300, deadline=None)
+@given(st.text(max_size=400))
+def test_html_scanner_total_and_deterministic(s):
+    out1 = extract_html_blocks(s)
+    out2 = extract_html_blocks(s)
+    assert out1 == out2
+    for rec in out1:
+        assert set(rec) == {"kind", "text", "media_ref"}
+        assert rec["kind"] in {"title", "text", "list", "table", "media"}
+
+
+@pytest.mark.skipif(not HAVE_HYP, reason="hypothesis unavailable")
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(
+        st.sampled_from(
+            [
+                "<div>", "</div>", "<p>", "</p>", "<a href='/x'>", "</a>",
+                "<table>", "</table>", "<tr>", "<td>", "</td>", "</tr>",
+                "<nav>", "</nav>", "<img src='m://1.png'>", "<h2>", "</h2>",
+                "<ul>", "<li>", "</li>", "</ul>", "<script>", "</script>",
+                "plain words here ", "&amp; ", "<!-- c -->", "<!doctype x>",
+            ]
+        ),
+        max_size=60,
+    )
+)
+def test_html_scanner_on_tag_soup(parts):
+    html = "".join(parts)
+    out = extract_html_blocks(html)
+    # media refs preserved in order, never from dropped regions is
+    # covered elsewhere; here: totality + stable schema under any nesting
+    assert all(isinstance(r["text"], str) for r in out)
