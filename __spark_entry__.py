@@ -157,6 +157,14 @@ def _q_toc_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
     return toc_flat_chunks(spark, sf_dir)
 
 
+def _q_hybrid_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deepdoc_api_spark.job.session import ship_package
+    from deepdoc_api_spark.ops.flat_pipeline import hybrid_flat_chunks
+
+    ship_package(spark)
+    return hybrid_flat_chunks(spark, sf_dir)
+
+
 def _q_media_kind_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     from deepdoc_api_spark.job.pipeline import spans_from_documents
     from deepdoc_api_spark.job.session import ship_package
@@ -188,6 +196,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hierarchical_flat_chunks": _q_hier_flat,
         "mineru_flat_chunks": _q_mineru_flat,
         "toc_flat_chunks": _q_toc_flat,
+        "hybrid_flat_chunks": _q_hybrid_flat,
         "chunk_stats_per_doc": _q_chunk_stats,
         "span_kind_histogram": _q_span_kind_histogram,
         # --- multimodal plumbing (rows-only; decode is a spec'd stub)
@@ -230,6 +239,7 @@ def oracle_sql() -> dict[str, str]:
         "hierarchical_flat_chunks": flat_pipeline.HIERARCHICAL_FLAT_SQL,
         "mineru_flat_chunks": flat_pipeline.MINERU_FLAT_SQL,
         "toc_flat_chunks": flat_pipeline.TOC_FLAT_SQL,
+        "hybrid_flat_chunks": flat_pipeline.HYBRID_FLAT_SQL,
         "token_count": text_analysis.TOKEN_COUNT_SQL,
         "quality_score": text_analysis.QUALITY_SCORE_SQL,
         "lang_id": text_analysis.LANG_ID_SQL,

@@ -453,3 +453,195 @@ SELECT doc_id,
 FROM sections
 WHERE body IS NOT NULL AND length(trim(body, ' ' || chr(10))) > 0
 """
+
+
+# ---------------------------------------------------------------------------
+# K1 hybrid chunker — real kernel vs CASE-expressible greedy-merge oracle
+# ---------------------------------------------------------------------------
+#
+# Restricted class making the DEFAULT chunker's token-budget merge
+# relational: unique level-1 titles, exactly <= 3 text elements per
+# heading run (TITLE_EVERY=4), VARIABLE group sizes (4 + i % 7 words) so
+# the greedy fill lands on both sides of the budget, and a budget low
+# enough (24) that merge decisions differ per run yet high enough that
+# the split path never fires (piece capacity is floored at 32 body
+# tokens > any group's token count — golden case G4). Greedy fill over
+# <= 3 items is a closed-form CASE:
+#   b12  = ctx+t1+t2 <= B          → e1,e2 merge
+#   b123 = b12 and ctx+t1+t2+t3 <= B → e3 joins them
+#   b23  = !b12 and ctx+t2+t3 <= B → e2,e3 merge
+# Token counts use the engine tokenizer's regex (\w+ | single
+# non-space-non-word) verbatim in SQL. Split/floor quirks stay pinned
+# by the golden cases + the spark-equality suite.
+
+HYBRID_FLAT_BUDGET = 24
+_GLEN_PARTIAL = [0, 4, 9, 15, 22, 30, 39]  # prefix sums of 4+(i%7), period 49
+
+
+def _hybrid_records_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = spark.sparkContext.defaultParallelism * 2
+    docs = (
+        spark.read.parquet(f"{sf_dir.rstrip('/')}/documents.parquet")
+        .select("doc_id", "text")
+        .repartition(n, "doc_id")
+    )
+    rep = " || ' ' || ".join(["trim(text)"] * REPLICAS)
+    partial = ",".join(str(v) for v in _GLEN_PARTIAL)
+    start = f"(49 * (i div 7) + element_at(array({partial}), (i % 7) + 1))"
+    glen = "(4 + i % 7)"
+    return docs.selectExpr(
+        "doc_id", f"split({rep}, '\\\\s+') as ws"
+    ).selectExpr(
+        "doc_id",
+        f"""
+        transform(
+          filter(sequence(0, cast(size(ws) / 4 as int) + 1),
+                 i -> {start} < size(ws)),
+          i -> named_struct(
+            'seq', i,
+            'kind', case when i % {TITLE_EVERY} = 0 then 'title' else 'text' end,
+            'content', case when i % {TITLE_EVERY} = 0
+                then concat('H', cast(i as string), ' ',
+                            concat_ws(' ', slice(ws, {start} + 1, {glen})))
+                else concat_ws(' ', slice(ws, {start} + 1, {glen})) end,
+            'page', cast(i div {PAGE_EVERY} as int) + 1))
+        as recs
+        """,
+    )
+
+
+def hybrid_flat_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    recs_df = _hybrid_records_spark(spark, sf_dir)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import json
+
+        from deepdoc_api_spark.kernels.chunkers import assemble_chunks, hybrid_chunks
+
+        for pdf in batches:
+            rows = []
+            for doc_id, recs in zip(pdf["doc_id"], pdf["recs"]):
+                records = _to_kernel_records(recs if recs is not None else [])
+                chunks = assemble_chunks(
+                    str(doc_id),
+                    hybrid_chunks(records, budget=HYBRID_FLAT_BUDGET),
+                    "hybrid",
+                )
+                for ch in chunks:
+                    rows.append(
+                        (
+                            int(doc_id),
+                            ch["chunk_index"],
+                            ch["text"],
+                            (ch["headings"] or [None])[0],
+                            json.dumps(ch["pages"], separators=(",", ":")),
+                            ch["chunk_size"],
+                        )
+                    )
+            if rows:
+                yield pd.DataFrame(
+                    rows,
+                    columns=[
+                        "doc_id", "chunk_index", "text", "heading",
+                        "pages", "chunk_size",
+                    ],
+                )
+
+    return recs_df.mapInPandas(run, TOC_FLAT_DDL.replace("page int", "pages string"))
+
+
+def _hybrid_flat_sql(budget: int = HYBRID_FLAT_BUDGET) -> str:
+    partial = ",".join(str(v) for v in _GLEN_PARTIAL)
+    # the engine tokenizer: \w+ or a single non-word-non-space char
+    tok = r"len(regexp_extract_all({x}, '[0-9A-Za-z_]+|[^0-9A-Za-z_\s]'))"
+    t_title = tok.format(x="title")
+    t = lambda k: tok.format(x=f"b{k}")  # noqa: E731
+    pages_json = (
+        "'[' || array_to_string(list_transform(list_sort(list_distinct({ps})),"
+        " x -> x::VARCHAR), ',') || ']'"
+    )
+    return f"""
+WITH w AS (SELECT doc_id, regexp_split_to_array({' || chr(32) || '.join(["trim(text)"] * REPLICAS)}, '\\s+') AS ws FROM documents),
+idx0 AS (SELECT doc_id, ws, unnest(range(0, CAST(len(ws) / 4 AS INTEGER) + 2)) AS i FROM w),
+idx AS (
+  SELECT doc_id, ws, i,
+         (49 * (i // 7) + ([{partial}])[(i % 7) + 1]) AS st,
+         (4 + i % 7) AS gl
+  FROM idx0
+  WHERE (49 * (i // 7) + ([{partial}])[(i % 7) + 1]) < len(ws)
+),
+r AS (
+  SELECT doc_id, i AS seq,
+    CASE WHEN i % {TITLE_EVERY} = 0 THEN 'title' ELSE 'text' END AS kind,
+    CASE WHEN i % {TITLE_EVERY} = 0
+      THEN 'H' || i || ' ' || array_to_string(ws[st + 1 : st + gl], ' ')
+      ELSE array_to_string(ws[st + 1 : st + gl], ' ') END AS content,
+    (i // {PAGE_EVERY}) + 1 AS page
+  FROM idx
+),
+g AS (
+  SELECT *, sum(CASE WHEN kind = 'title' THEN 1 ELSE 0 END)
+         OVER (PARTITION BY doc_id ORDER BY seq
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seg
+  FROM r
+),
+runs AS (
+  SELECT doc_id, seg, min(seq) AS ord,
+    max(CASE WHEN kind = 'title' THEN content END) AS title,
+    min(CASE WHEN kind = 'title' THEN page END) AS tpage,
+    max(CASE WHEN kind = 'text' AND rn = 1 THEN content END) AS b1,
+    max(CASE WHEN kind = 'text' AND rn = 2 THEN content END) AS b2,
+    max(CASE WHEN kind = 'text' AND rn = 3 THEN content END) AS b3,
+    max(CASE WHEN kind = 'text' AND rn = 1 THEN page END) AS p1,
+    max(CASE WHEN kind = 'text' AND rn = 2 THEN page END) AS p2,
+    max(CASE WHEN kind = 'text' AND rn = 3 THEN page END) AS p3
+  FROM (SELECT *, row_number() OVER (PARTITION BY doc_id, seg, kind ORDER BY seq) AS rn FROM g)
+  GROUP BY doc_id, seg
+),
+dec AS (
+  SELECT *,
+    {t_title} AS c,
+    coalesce({t(1)}, 0) AS t1, coalesce({t(2)}, 0) AS t2, coalesce({t(3)}, 0) AS t3,
+    (b2 IS NOT NULL AND {t_title} + {t(1)} + {t(2)} <= {budget}) AS m12
+  FROM runs WHERE b1 IS NOT NULL
+),
+dec2 AS (
+  SELECT *,
+    (b3 IS NOT NULL AND m12 AND c + t1 + t2 + t3 <= {budget}) AS m123,
+    (b3 IS NOT NULL AND NOT m12 AND c + t2 + t3 <= {budget}) AS m23
+  FROM dec
+),
+slots AS (
+  -- slot 1: e1 (+e2 if m12) (+e3 if m123)
+  SELECT doc_id, ord, 1 AS slot,
+    title || chr(10) || b1
+      || CASE WHEN m12 THEN chr(10) || b2 ELSE '' END
+      || CASE WHEN m123 THEN chr(10) || b3 ELSE '' END AS text,
+    title AS heading,
+    {pages_json.format(ps="CASE WHEN m123 THEN [p1, p2, p3] WHEN m12 THEN [p1, p2] ELSE [p1] END")} AS pages
+  FROM dec2
+  UNION ALL
+  -- slot 2: (k>=2, !m12): e2 (+e3 if m23); (k=3, m12, !m123): e3
+  SELECT doc_id, ord, 2 AS slot,
+    title || chr(10) ||
+      CASE WHEN NOT m12 THEN b2 || CASE WHEN m23 THEN chr(10) || b3 ELSE '' END
+           ELSE b3 END AS text,
+    title AS heading,
+    {pages_json.format(ps="CASE WHEN NOT m12 AND m23 THEN [p2, p3] WHEN NOT m12 THEN [p2] ELSE [p3] END")} AS pages
+  FROM dec2
+  WHERE (b2 IS NOT NULL AND NOT m12) OR (b3 IS NOT NULL AND m12 AND NOT m123)
+  UNION ALL
+  -- slot 3: k=3, !m12, !m23: e3 alone
+  SELECT doc_id, ord, 3 AS slot,
+    title || chr(10) || b3 AS text, title AS heading,
+    {pages_json.format(ps="[p3]")} AS pages
+  FROM dec2 WHERE b3 IS NOT NULL AND NOT m12 AND NOT m23
+)
+SELECT doc_id,
+  (row_number() OVER (PARTITION BY doc_id ORDER BY ord, slot) - 1)::INTEGER AS chunk_index,
+  text, heading, pages, length(text)::BIGINT AS chunk_size
+FROM slots
+"""
+
+
+HYBRID_FLAT_SQL = _hybrid_flat_sql()

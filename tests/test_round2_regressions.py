@@ -243,3 +243,24 @@ def test_mineru_flat_oracle_exercises_fold_branches(sf_dir):
     assert df["pages"].str.contains(",").any(), "O6 page-range merge never fired"
     assert (df["hierarchy"] == "").any(), "pre-first-title records missing"
     assert (df["hierarchy"] != "").any(), "hierarchy snapshot never set"
+
+
+def test_hybrid_flat_oracle_exercises_all_merge_branches(sf_dir):
+    """The K1 merge-boundary oracle is only meaningful if the greedy
+    fill lands on BOTH sides of the budget across runs."""
+    import duckdb
+
+    from deepdoc_api_spark.ops.flat_pipeline import _hybrid_flat_sql
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM"
+        f" read_parquet('{sf_dir}/documents.parquet')"
+    )
+    sql = _hybrid_flat_sql()
+    probe = sql[: sql.index("slots AS (")] + (
+        "probe AS (SELECT m12, m123, m23, count(*) n FROM dec2 GROUP BY 1,2,3)"
+        " SELECT count(*) FROM probe"
+    )
+    n_branches = con.execute(probe).fetchone()[0]
+    assert n_branches >= 3, f"only {n_branches} merge branches exercised"
