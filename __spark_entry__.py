@@ -165,6 +165,14 @@ def _q_hybrid_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hybrid_flat_chunks(spark, sf_dir)
 
 
+def _q_html_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deepdoc_api_spark.job.session import ship_package
+    from deepdoc_api_spark.ops.flat_pipeline import html_flat_blocks
+
+    ship_package(spark)
+    return html_flat_blocks(spark, sf_dir)
+
+
 def _q_media_kind_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     from deepdoc_api_spark.job.pipeline import spans_from_documents
     from deepdoc_api_spark.job.session import ship_package
@@ -197,6 +205,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mineru_flat_chunks": _q_mineru_flat,
         "toc_flat_chunks": _q_toc_flat,
         "hybrid_flat_chunks": _q_hybrid_flat,
+        # O1 scanner contract on templated markup (nav drop, length
+        # filter, link density, media order, table rows)
+        "html_flat_blocks": _q_html_flat,
         "chunk_stats_per_doc": _q_chunk_stats,
         "span_kind_histogram": _q_span_kind_histogram,
         # --- multimodal plumbing (rows-only; decode is a spec'd stub)
@@ -240,6 +251,7 @@ def oracle_sql() -> dict[str, str]:
         "mineru_flat_chunks": flat_pipeline.MINERU_FLAT_SQL,
         "toc_flat_chunks": flat_pipeline.TOC_FLAT_SQL,
         "hybrid_flat_chunks": flat_pipeline.HYBRID_FLAT_SQL,
+        "html_flat_blocks": flat_pipeline.HTML_FLAT_SQL,
         "token_count": text_analysis.TOKEN_COUNT_SQL,
         "quality_score": text_analysis.QUALITY_SCORE_SQL,
         "lang_id": text_analysis.LANG_ID_SQL,

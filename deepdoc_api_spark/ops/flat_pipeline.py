@@ -645,3 +645,117 @@ FROM slots
 
 
 HYBRID_FLAT_SQL = _hybrid_flat_sql()
+
+
+# ---------------------------------------------------------------------------
+# O1 HTML main-content extraction — real scanner vs templated oracle
+# ---------------------------------------------------------------------------
+#
+# The scanner itself (tag tokenizer + block state machine) cannot be
+# reproduced in SQL — but its OBSERVABLE CONTRACT on templated markup
+# can: build per-doc HTML from the word groups with a fixed fragment
+# template per index class, run the REAL `extract_html_blocks` on
+# Spark, and have DuckDB compute the expected block records straight
+# from the group arithmetic plus the engine's documented rules
+# (nav dropped; <p> kept iff >= MIN_TEXT_CHARS; link-wrapped <p>
+# dropped by link density; <h2> kept at any length; <img> -> media
+# record in order; single-row table -> 'c1 | c2'). Fragment classes by
+# i % 5: 0 = nav boilerplate, 1 = paragraph, 2 = heading, 3 = inline
+# image, 4 = two-cell table; i % 10 == 6 upgrades the paragraph to a
+# link-wrapped one (density-dropped — 'see ' prefix keeps density
+# len(g)/(4+len(g)) > 1/3 for any non-trivial group).
+
+HTML_FLAT_DDL = (
+    "doc_id bigint, block_index int, kind string, text string, media_ref string"
+)
+
+
+def _html_fragment_expr(start: str, glen: str) -> str:
+    grp = f"concat_ws(' ', slice(ws, {start} + 1, {glen}))"
+    return f"""
+      case
+        when i % 5 = 0 then concat('<nav><ul><li><a href="/x">', {grp}, '</a></li></ul></nav>')
+        when i % 10 = 6 then concat('<p>see <a href="/y">', {grp}, '</a></p>')
+        when i % 5 = 1 then concat('<p>', {grp}, '</p>')
+        when i % 5 = 2 then concat('<h2>', {grp}, '</h2>')
+        when i % 5 = 3 then concat('<img src="m://', cast(doc_id as string), '/', cast(i as string), '.png">')
+        else concat('<table><tr><td>', {grp}, '</td><td>tail cell</td></tr></table>')
+      end
+    """
+
+
+def html_flat_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = spark.sparkContext.defaultParallelism * 2
+    docs = (
+        spark.read.parquet(f"{sf_dir.rstrip('/')}/documents.parquet")
+        .select("doc_id", "text")
+        .repartition(n, "doc_id")
+    )
+    rep = " || ' ' || ".join(["trim(text)"] * REPLICAS)
+    start = f"(i * {GROUP_WORDS})"
+    html_df = docs.selectExpr(
+        "doc_id", f"split({rep}, '\\\\s+') as ws"
+    ).selectExpr(
+        "doc_id",
+        f"""
+        concat_ws('', transform(
+          sequence(0, cast(ceil(size(ws) / {GROUP_WORDS}.0) as int) - 1),
+          i -> {_html_fragment_expr(start, str(GROUP_WORDS))})) as html
+        """,
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from deepdoc_api_spark.kernels.html_extract import extract_html_blocks
+
+        for pdf in batches:
+            rows = []
+            for doc_id, html in zip(pdf["doc_id"], pdf["html"]):
+                for j, blk in enumerate(extract_html_blocks(html or "")):
+                    rows.append(
+                        (int(doc_id), j, blk["kind"], blk["text"], blk["media_ref"])
+                    )
+            if rows:
+                yield pd.DataFrame(
+                    rows,
+                    columns=["doc_id", "block_index", "kind", "text", "media_ref"],
+                )
+
+    return html_df.mapInPandas(run, HTML_FLAT_DDL)
+
+
+def _html_flat_sql(min_text_chars: int = 25) -> str:
+    grp = f"array_to_string(ws[i * {GROUP_WORDS} + 1 : i * {GROUP_WORDS} + {GROUP_WORDS}], ' ')"
+    rep = " || ' ' || ".join(["trim(text)"] * REPLICAS)
+    return f"""
+WITH w AS (SELECT doc_id, regexp_split_to_array({rep}, '\\s+') AS ws FROM documents),
+idx AS (SELECT doc_id, ws, unnest(range(0, CAST(ceil(len(ws) / {GROUP_WORDS}.0) AS INTEGER))) AS i FROM w),
+expected AS (
+  SELECT doc_id, i,
+    CASE
+      WHEN i % 5 = 0 THEN NULL                           -- nav: boilerplate
+      WHEN i % 10 = 6 THEN NULL                          -- link-density drop
+      WHEN i % 5 = 1 AND length({grp}) >= {min_text_chars} THEN 'text'
+      WHEN i % 5 = 1 THEN NULL                           -- short text drop
+      WHEN i % 5 = 2 THEN 'title'
+      WHEN i % 5 = 3 THEN 'media'
+      ELSE 'table'
+    END AS kind,
+    CASE
+      WHEN i % 5 = 1 THEN {grp}
+      WHEN i % 5 = 2 THEN {grp}
+      WHEN i % 5 = 3 THEN ''
+      WHEN i % 5 = 4 THEN {grp} || ' | tail cell'
+    END AS text,
+    CASE WHEN i % 5 = 3
+         THEN 'm://' || doc_id || '/' || i || '.png' ELSE '' END AS media_ref
+  FROM idx
+)
+SELECT doc_id,
+       (row_number() OVER (PARTITION BY doc_id ORDER BY i) - 1)::INTEGER
+         AS block_index,
+       kind, text, media_ref
+FROM expected WHERE kind IS NOT NULL
+"""
+
+
+HTML_FLAT_SQL = _html_flat_sql()
