@@ -92,17 +92,24 @@ def get_spark(
     return spark
 
 
+_SHIPPED_CONTEXTS: set = set()
+
+
 def ship_package(spark: SparkSession) -> None:
     """Make the kernel package importable on executors.
 
     Mirrors ``spark-submit --py-files deepdoc_api_spark.zip``: build the
-    zip and ``addPyFile`` it. Safe to call on a session that already has
-    it (duplicate adds of an identical path are no-ops; a fresh temp zip
-    per session is fine because the SparkContext caches by name).
+    zip and ``addPyFile`` it. Memoized per SparkContext — every driver
+    query entry point calls this defensively, and rebuilding/re-adding
+    the zip dozens of times per session is pure waste.
     """
     try:
+        ctx_id = spark.sparkContext.applicationId
+        if ctx_id in _SHIPPED_CONTEXTS:
+            return
         zip_path = build_py_files_zip()
         spark.sparkContext.addPyFile(zip_path)
+        _SHIPPED_CONTEXTS.add(ctx_id)
     except Exception:
         # already added under the same name, or a shared session that
         # forbids it — executors may still resolve via PYTHONPATH
