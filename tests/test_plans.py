@@ -172,3 +172,26 @@ def test_lsh_topk_no_dim_probe_job(spark, sf_dir):
     near = jobs_to_build(similarity.embedding_near_dup_pairs)
     assert lsh <= baseline, f"dim probe job: lsh={lsh} baseline={baseline}"
     assert near <= baseline, f"dim probe job: near={near} baseline={baseline}"
+
+
+def test_flat_oracle_generation_stays_jvm_side(spark, sf_dir):
+    """The flat-title record generation must be JVM expressions feeding
+    ONE Arrow crossing — a Python generator would make the oracle
+    queries measure the wrong engine path."""
+    from deepdoc_api_spark.ops import flat_pipeline
+
+    import re
+
+    for fn in (
+        flat_pipeline.hierarchical_flat_chunks,
+        flat_pipeline.mineru_flat_chunks,
+        flat_pipeline.hybrid_flat_chunks,
+        flat_pipeline.html_flat_blocks,
+    ):
+        plan = plan_of(fn(spark, sf_dir))
+        n = len(re.findall(r"^\(\d+\) MapInPandas", plan, re.M))
+        assert n == 1, f"{fn.__name__}: {n} Arrow crossings"
+        scan = [seg for seg in plan.split("\n\n") if "ReadSchema" in seg][0]
+        assert "lang" not in scan and "n_chars" not in scan, (
+            f"{fn.__name__}: scan not pruned"
+        )
