@@ -99,3 +99,53 @@ def test_html_scanner_on_tag_soup(parts):
     # media refs preserved in order, never from dropped regions is
     # covered elsewhere; here: totality + stable schema under any nesting
     assert all(isinstance(r["text"], str) for r in out)
+
+
+# ---------------------------------------------------------------------------
+# fold-kernel totality under randomized record streams
+# ---------------------------------------------------------------------------
+
+_KINDS = ["title", "text", "list", "table", "media"]
+
+if HAVE_HYP:
+    _record = st.fixed_dictionaries(
+        {
+            "kind": st.sampled_from(_KINDS),
+            "content": st.text(max_size=40),
+            "media_ref": st.sampled_from(["", "m://x/1.png"]),
+            "page": st.integers(min_value=1, max_value=9),
+            "offset": st.integers(min_value=0, max_value=9000),
+        }
+    )
+
+
+@pytest.mark.skipif(not HAVE_HYP, reason="hypothesis unavailable")
+@settings(max_examples=200, deadline=None)
+@given(st.lists(_record, max_size=30))
+def test_fold_and_chunkers_total(records):
+    """format_records / all chunkers / assembly never raise on any
+    record stream and keep their output invariants."""
+    from deepdoc_api_spark.kernels.chunkers import (
+        assemble_chunks,
+        hierarchical_chunks,
+        hybrid_chunks,
+        mineru_chunks,
+    )
+    from deepdoc_api_spark.kernels.layout import format_records, parse_page_label
+    from deepdoc_api_spark.kernels.toc import toc_chunks
+
+    for item in format_records(list(records)):
+        assert isinstance(parse_page_label(item["page"]), list)
+
+    for chunks in (
+        hybrid_chunks(list(records), budget=16),
+        hierarchical_chunks(list(records)),
+        toc_chunks(list(records)),
+        mineru_chunks(list(records), "doc-x"),
+    ):
+        out = assemble_chunks("doc-x", chunks, "any")
+        idxs = [c["chunk_index"] for c in out]
+        assert idxs == list(range(len(out))), "chunk_index not dense"
+        for c in out:
+            assert c["pages"] == sorted(set(c["pages"])) and c["pages"]
+            assert c["chunk_size"] == len(c["text"])
