@@ -226,6 +226,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup_pairs": similarity.embedding_near_dup_pairs,
         # --- dedup (DuckDB oracle)
         "exact_dedup": dedup.exact_dedup,
+        "ngram_doc_frequency": dedup.ngram_doc_frequency,
         "minhash_signatures": dedup.minhash_signatures,
         "lsh_band_buckets": dedup.lsh_band_buckets,
         "jaccard_near_dup_pairs": dedup.jaccard_near_dup_pairs,
@@ -261,6 +262,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_norms": similarity.EMBEDDING_NORMS_SQL,
         "embedding_near_dup_pairs": similarity.embedding_near_dup_pairs_sql(),
         "exact_dedup": dedup.EXACT_DEDUP_SQL,
+        "ngram_doc_frequency": dedup.ngram_doc_frequency_sql(),
         "minhash_signatures": dedup.MINHASH_SIGNATURES_SQL,
         "lsh_band_buckets": dedup.LSH_BAND_BUCKETS_SQL,
         "jaccard_near_dup_pairs": dedup.jaccard_near_dup_pairs_sql(),

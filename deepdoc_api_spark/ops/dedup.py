@@ -498,3 +498,50 @@ def simhash_near_dup_pairs_sql(max_hamming: int = 3) -> str:
         " AND a.doc_id < b.doc_id\n"
         f"WHERE {hamming} <= {max_hamming}"
     )
+
+
+# ---------------------------------------------------------------------------
+# corpus-level n-gram document frequency (boilerplate detection)
+# ---------------------------------------------------------------------------
+
+
+def ngram_doc_frequency(
+    spark: SparkSession, sf_dir: str, min_df: int = 50, top_k: int = 100
+) -> DataFrame:
+    """Most document-frequent word 3-grams — the corpus-level analogue
+    of the per-document repeated-header suppression (O4): shingles
+    appearing in >= ``min_df`` documents are boilerplate candidates a
+    training pipeline strips before dedup/training (CCNet-style).
+
+    Plan shape: per-row distinct shingles (no explode until the shuffle
+    input is deduped per doc), one partial-aggregated groupBy on the
+    gram, top-k with a deterministic tiebreak. At corpus scale the
+    map-side combine absorbs the per-doc fan-out; the reduced key space
+    is the distinct-gram vocabulary.
+    """
+    grams = (
+        _docs_words(spark, sf_dir)
+        .filter("size(w) >= 3")
+        .selectExpr("doc_id", f"array_distinct({_SHINGLES_EXPR}) as gs")
+        .selectExpr("explode(gs) as gram")
+    )
+    return (
+        grams.groupBy("gram")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") >= min_df)
+        .orderBy(F.col("df").desc(), F.col("gram").asc())
+        .limit(top_k)
+        .selectExpr("gram", "cast(df as bigint) as df")
+    )
+
+
+def ngram_doc_frequency_sql(min_df: int = 50, top_k: int = 100) -> str:
+    return (
+        "WITH t AS (SELECT doc_id,"
+        " regexp_split_to_array(trim(lower(text)), '\\s+') AS w FROM documents),\n"
+        f"s AS (SELECT doc_id, list_distinct({_SHINGLES_SQL}) AS g FROM t"
+        " WHERE len(w) >= 3),\n"
+        "e AS (SELECT doc_id, unnest(g) AS gram FROM s WHERE len(g) > 0)\n"
+        "SELECT gram, count(*)::BIGINT AS df FROM e GROUP BY gram\n"
+        f"HAVING count(*) >= {min_df} ORDER BY df DESC, gram ASC LIMIT {top_k}"
+    )
