@@ -230,6 +230,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signatures": dedup.minhash_signatures,
         "lsh_band_buckets": dedup.lsh_band_buckets,
         "jaccard_near_dup_pairs": dedup.jaccard_near_dup_pairs,
+        "near_dup_components": dedup.near_dup_components,
         "simhash16": dedup.simhash16,
         "simhash_words": dedup.simhash_words,
         "simhash_near_dup_pairs": dedup.simhash_near_dup_pairs,
@@ -266,6 +267,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_signatures": dedup.MINHASH_SIGNATURES_SQL,
         "lsh_band_buckets": dedup.LSH_BAND_BUCKETS_SQL,
         "jaccard_near_dup_pairs": dedup.jaccard_near_dup_pairs_sql(),
+        "near_dup_components": dedup.near_dup_components_sql(),
         "simhash16": dedup.SIMHASH16_SQL,
         "simhash_words": dedup.SIMHASH_WORDS_SQL,
         "simhash_near_dup_pairs": dedup.simhash_near_dup_pairs_sql(),

@@ -545,3 +545,90 @@ def ngram_doc_frequency_sql(min_df: int = 50, top_k: int = 100) -> str:
         "SELECT gram, count(*)::BIGINT AS df FROM e GROUP BY gram\n"
         f"HAVING count(*) >= {min_df} ORDER BY df DESC, gram ASC LIMIT {top_k}"
     )
+
+
+# ---------------------------------------------------------------------------
+# near-dup connected components (keeper assignment)
+# ---------------------------------------------------------------------------
+
+
+def near_dup_components(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold_milli: int = 500,
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Connected components over the Jaccard near-dup pair graph — the
+    keeper-assignment step that turns pairwise dedup evidence into a
+    per-document verdict (component id = min doc_id in the component;
+    ``is_keeper`` marks the survivor).
+
+    Iterative min-label propagation: each round joins the current
+    labels across the (symmetrized) edge list and takes the min — a
+    label-propagation union-find whose round count is the graph
+    diameter (near-dup components are tiny cliques in practice, so 2-3
+    rounds; ``max_iterations`` bounds pathology). Each round is one
+    shuffle on doc_id; the loop exits early when a round changes no
+    label (count of improved labels — a cheap aggregate, not a
+    collect of the data).
+    """
+    pairs = jaccard_near_dup_pairs(spark, sf_dir, threshold_milli).select(
+        "doc_a", "doc_b"
+    )
+    pairs = pairs.localCheckpoint(eager=True)  # cut the LSH lineage once
+    edges = pairs.unionByName(
+        pairs.selectExpr("doc_b as doc_a", "doc_a as doc_b")
+    )
+    labels = (
+        pairs.selectExpr("doc_a as doc_id")
+        .unionByName(pairs.selectExpr("doc_b as doc_id"))
+        .distinct()
+        .selectExpr("doc_id", "doc_id as component")
+    ).localCheckpoint(eager=True)
+
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges["doc_b"] == labels["doc_id"])
+            .selectExpr("doc_a as doc_id", "component")
+            .groupBy("doc_id")
+            .agg(F.min("component").alias("neighbor_component"))
+        )
+        improved = (
+            labels.join(neighbor_min, "doc_id", "left")
+            .selectExpr(
+                "doc_id",
+                "component",
+                "least(component, coalesce(neighbor_component, component))"
+                " as new_component",
+            )
+        ).localCheckpoint(eager=True)  # materialize: bounded lineage per round
+        n_changed = improved.filter("new_component != component").count()
+        labels = improved.selectExpr("doc_id", "new_component as component")
+        if n_changed == 0:
+            break
+
+    return labels.selectExpr(
+        "doc_id", "component", "cast(doc_id = component as boolean) as is_keeper"
+    )
+
+
+def near_dup_components_sql(threshold_milli: int = 500) -> str:
+    """Recursive-CTE oracle: min reachable doc over the same edge set."""
+    pairs = jaccard_near_dup_pairs_sql(threshold_milli)
+    return f"""
+WITH RECURSIVE pair_base AS ({pairs}),
+edges AS (
+  SELECT doc_a, doc_b FROM pair_base
+  UNION ALL SELECT doc_b, doc_a FROM pair_base
+),
+nodes AS (SELECT DISTINCT doc_a AS doc_id FROM edges),
+reach AS (
+  SELECT doc_id, doc_id AS other FROM nodes
+  UNION
+  SELECT r.doc_id, e.doc_b AS other
+  FROM reach r JOIN edges e ON e.doc_a = r.other
+)
+SELECT doc_id, min(other) AS component,
+       (doc_id = min(other)) AS is_keeper
+FROM reach GROUP BY doc_id
+"""
