@@ -231,6 +231,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_band_buckets": dedup.lsh_band_buckets,
         "jaccard_near_dup_pairs": dedup.jaccard_near_dup_pairs,
         "near_dup_components": dedup.near_dup_components,
+        "dedup_verdicts": dedup.dedup_verdicts,
         "simhash16": dedup.simhash16,
         "simhash_words": dedup.simhash_words,
         "simhash_near_dup_pairs": dedup.simhash_near_dup_pairs,
@@ -268,6 +269,7 @@ def oracle_sql() -> dict[str, str]:
         "lsh_band_buckets": dedup.LSH_BAND_BUCKETS_SQL,
         "jaccard_near_dup_pairs": dedup.jaccard_near_dup_pairs_sql(),
         "near_dup_components": dedup.near_dup_components_sql(),
+        "dedup_verdicts": dedup.dedup_verdicts_sql(),
         "simhash16": dedup.SIMHASH16_SQL,
         "simhash_words": dedup.SIMHASH_WORDS_SQL,
         "simhash_near_dup_pairs": dedup.simhash_near_dup_pairs_sql(),

@@ -632,3 +632,64 @@ SELECT doc_id, min(other) AS component,
        (doc_id = min(other)) AS is_keeper
 FROM reach GROUP BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# dedup verdicts (apply step: detect → assign → APPLY)
+# ---------------------------------------------------------------------------
+
+
+def dedup_verdicts(
+    spark: SparkSession, sf_dir: str, threshold_milli: int = 500
+) -> DataFrame:
+    """Per-document dedup verdict combining exact and near-dup evidence
+    — the filter a training pipeline actually applies:
+
+    * ``exact_dup``: identical normalized content, not the group keeper;
+    * ``near_dup``: non-keeper of a Jaccard near-dup component (keepers
+      resolved by :func:`near_dup_components`);
+    * ``kept`` otherwise. ``keeper`` names the surviving doc for dropped
+      rows (itself for kept rows).
+
+    Precedence mirrors a real pipeline: exact dedup first (cheap, one
+    shuffle), near-dup verdicts only consulted for exact survivors.
+    """
+    exact = exact_dedup(spark, sf_dir).selectExpr(
+        "doc_id", "keeper as exact_keeper", "is_dup as is_exact_dup"
+    )
+    comps = near_dup_components(spark, sf_dir, threshold_milli).selectExpr(
+        "doc_id", "component as near_keeper", "is_keeper as is_near_keeper"
+    )
+    return (
+        exact.join(comps, "doc_id", "left")
+        .selectExpr(
+            "doc_id",
+            "case when is_exact_dup then 'exact_dup'"
+            " when near_keeper is not null and not is_near_keeper"
+            " then 'near_dup' else 'kept' end as verdict",
+            "case when is_exact_dup then exact_keeper"
+            " when near_keeper is not null and not is_near_keeper"
+            " then near_keeper else doc_id end as keeper",
+        )
+    )
+
+
+def dedup_verdicts_sql(threshold_milli: int = 500) -> str:
+    comps = near_dup_components_sql(threshold_milli)
+    return f"""
+WITH comps AS ({comps}),
+fp AS (SELECT doc_id, md5(lower(trim(text))) AS fp FROM documents),
+k AS (SELECT fp, min(doc_id) AS keeper FROM fp GROUP BY fp),
+exact AS (
+  SELECT f.doc_id, k.keeper AS exact_keeper, (f.doc_id != k.keeper) AS is_exact_dup
+  FROM fp f JOIN k USING (fp)
+)
+SELECT e.doc_id,
+  CASE WHEN e.is_exact_dup THEN 'exact_dup'
+       WHEN c.component IS NOT NULL AND NOT c.is_keeper THEN 'near_dup'
+       ELSE 'kept' END AS verdict,
+  CASE WHEN e.is_exact_dup THEN e.exact_keeper
+       WHEN c.component IS NOT NULL AND NOT c.is_keeper THEN c.component
+       ELSE e.doc_id END AS keeper
+FROM exact e LEFT JOIN comps c ON c.doc_id = e.doc_id
+"""
