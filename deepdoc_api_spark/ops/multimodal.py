@@ -138,3 +138,111 @@ def media_kind_histogram(spans_df: DataFrame) -> DataFrame:
         .agg(F.count("*").alias("n_media"))
         .selectExpr("media_kind", "cast(n_media as bigint) n_media")
     )
+
+
+# ---------------------------------------------------------------------------
+# resize / frame-sample (the remaining multimodal plumbing ops)
+# ---------------------------------------------------------------------------
+
+RESIZED_DDL = (
+    "doc_id string, media_ref string, media_kind string, width int, "
+    "height int, resized_w int, resized_h int, scale_milli bigint"
+)
+
+FRAMES_DDL = (
+    "doc_id string, media_ref string, frame_idx int, ts_ms bigint, "
+    "frame_feature array<float>"
+)
+
+
+def fit_box(width: int, height: int, max_w: int, max_h: int):
+    """Aspect-preserving fit-within-box resize arithmetic (the real
+    logic of a resize op — the pixel resample itself is codec work).
+    Never upscales; floors to ints; degenerate inputs collapse to 0."""
+    if width <= 0 or height <= 0:
+        return 0, 0, 0
+    scale = min(max_w / width, max_h / height, 1.0)
+    return int(width * scale), int(height * scale), int(scale * 1000)
+
+
+def resize_media(
+    media_df: DataFrame, max_w: int = 256, max_h: int = 256,
+    fake_decode: bool = True,
+) -> DataFrame:
+    """Image/video resize planning over the media table: decode the
+    dimensions (stubbed), compute the aspect-preserving target size.
+    One Arrow crossing; the pixel resample slot is inside the same
+    batch loop a real implementation fills in."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, ref, kind, payload in zip(
+                pdf["doc_id"], pdf["media_ref"], pdf["media_kind"], pdf["payload"]
+            ):
+                w, hgt, _feat = decode_media(
+                    bytes(payload) if payload is not None else b"",
+                    kind, fake=fake_decode,
+                )
+                rw, rh, sm = fit_box(w, hgt, max_w, max_h)
+                rows.append((doc_id, ref, kind, w, hgt, rw, rh, sm))
+            if rows:
+                yield pd.DataFrame(
+                    rows,
+                    columns=[
+                        "doc_id", "media_ref", "media_kind", "width",
+                        "height", "resized_w", "resized_h", "scale_milli",
+                    ],
+                )
+
+    return media_df.mapInPandas(run, RESIZED_DDL)
+
+
+def frame_timestamps_ms(duration_ms: int, every_ms: int):
+    """Deterministic frame-sampling schedule: one frame per
+    ``every_ms`` window starting at 0, never past the duration."""
+    if duration_ms <= 0 or every_ms <= 0:
+        return []
+    return list(range(0, duration_ms, every_ms))
+
+
+def sample_frames(
+    media_df: DataFrame, every_ms: int = 1000, fake_decode: bool = True
+) -> DataFrame:
+    """Video frame sampling: one output row per sampled frame — the
+    table-generating batch shape (N media rows in → Σ frames out) a
+    real ffmpeg-backed extractor uses. Duration and per-frame features
+    are stub-derived from the payload hash (decode is codec work);
+    the schedule arithmetic and the fan-out plumbing are real."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _hashlib
+
+        for pdf in batches:
+            rows = []
+            for doc_id, ref, kind, payload in zip(
+                pdf["doc_id"], pdf["media_ref"], pdf["media_kind"], pdf["payload"]
+            ):
+                if kind != "video":
+                    continue
+                if not fake_decode:
+                    decode_media(b"", kind, fake=False)  # raises: stub
+                h = _hashlib.sha1(bytes(payload or b"")).digest()
+                duration_ms = 1000 + int.from_bytes(h[:2], "big") * 2
+                for idx, ts in enumerate(frame_timestamps_ms(duration_ms, every_ms)):
+                    fh = _hashlib.sha1(h + ts.to_bytes(8, "big")).digest()
+                    feat = [
+                        round((fh[i % len(fh)] - 128) / 128.0, 6)
+                        for i in range(FEATURE_DIM)
+                    ]
+                    rows.append((doc_id, ref, idx, ts, feat))
+            if rows:
+                yield pd.DataFrame(
+                    rows,
+                    columns=[
+                        "doc_id", "media_ref", "frame_idx", "ts_ms",
+                        "frame_feature",
+                    ],
+                )
+
+    return media_df.mapInPandas(run, FRAMES_DDL)

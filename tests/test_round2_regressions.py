@@ -264,3 +264,57 @@ def test_hybrid_flat_oracle_exercises_all_merge_branches(sf_dir):
     )
     n_branches = con.execute(probe).fetchone()[0]
     assert n_branches >= 3, f"only {n_branches} merge branches exercised"
+
+
+# ---------------------------------------------------------------------------
+# 7. multimodal resize / frame-sample plumbing
+# ---------------------------------------------------------------------------
+
+
+def test_fit_box_geometry():
+    from deepdoc_api_spark.ops.multimodal import fit_box
+
+    assert fit_box(512, 256, 256, 256) == (256, 128, 500)
+    assert fit_box(100, 100, 256, 256) == (100, 100, 1000)  # never upscale
+    assert fit_box(0, 100, 256, 256) == (0, 0, 0)
+    w, h, _ = fit_box(1920, 1080, 256, 256)
+    assert w <= 256 and h <= 256 and abs(w / h - 1920 / 1080) < 0.02
+
+
+def test_frame_schedule():
+    from deepdoc_api_spark.ops.multimodal import frame_timestamps_ms
+
+    assert frame_timestamps_ms(3500, 1000) == [0, 1000, 2000, 3000]
+    assert frame_timestamps_ms(0, 1000) == []
+    assert frame_timestamps_ms(999, 1000) == [0]
+
+
+def test_resize_and_frames_plumbing(spark, sf_dir):
+    from deepdoc_api_spark.job.pipeline import spans_from_documents
+    from deepdoc_api_spark.ops.multimodal import (
+        media_catalog,
+        resize_media,
+        sample_frames,
+    )
+
+    cat = media_catalog(spans_from_documents(spark, sf_dir, limit=60))
+    resized = resize_media(cat).collect()
+    assert resized
+    for r in resized:
+        assert r["resized_w"] <= 256 and r["resized_h"] <= 256
+        assert r["resized_w"] <= r["width"] and r["resized_h"] <= r["height"]
+    frames = sample_frames(cat)
+    pdf = frames.toPandas()
+    assert (pdf.groupby("media_ref")["frame_idx"].apply(
+        lambda s: sorted(s) == list(range(len(s)))
+    )).all(), "frame_idx not dense per media"
+    assert (pdf["ts_ms"] % 1000 == 0).all()
+
+
+def test_real_decode_path_raises_cleanly():
+    import pytest as _pytest
+
+    from deepdoc_api_spark.ops.multimodal import decode_media
+
+    with _pytest.raises(NotImplementedError):
+        decode_media(b"x", "image", fake=False)
