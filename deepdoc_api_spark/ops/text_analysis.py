@@ -272,3 +272,49 @@ def _rolling_sql() -> str:
 
 
 ROLLING_FINGERPRINT_SQL = _rolling_sql()
+
+
+# ---------------------------------------------------------------------------
+# deterministic dataset split assignment (train/val/test)
+# ---------------------------------------------------------------------------
+
+SPLIT_SALT = "split-v1"
+
+
+def train_eval_split(
+    spark: SparkSession,
+    sf_dir: str,
+    val_permille: int = 10,
+    test_permille: int = 10,
+) -> DataFrame:
+    """Stable train/val/test assignment by content-independent hash of
+    the document id — the split a training pipeline needs to be
+    reproducible across runs, engines, and corpus growth (a doc's split
+    never changes when other docs arrive; md5 keeps the oracle exact).
+    """
+    bucket = (
+        f"cast(conv(substr(md5(concat('{SPLIT_SALT}:', cast(doc_id as string))),"
+        " 1, 8), 16, 10) as bigint) % 1000"
+    )
+    return _docs(spark, sf_dir).selectExpr(
+        "doc_id",
+        f"cast({bucket} as bigint) as split_bucket",
+        f"case when {bucket} < {val_permille} then 'val'"
+        f" when {bucket} < {val_permille + test_permille} then 'test'"
+        " else 'train' end as split",
+    )
+
+
+def train_eval_split_sql(val_permille: int = 10, test_permille: int = 10) -> str:
+    bucket = (
+        f"(('0x' || substr(md5('{SPLIT_SALT}:' || doc_id::VARCHAR), 1, 8))::BIGINT"
+        " % 1000)"
+    )
+    return f"""
+SELECT doc_id,
+       {bucket}::BIGINT AS split_bucket,
+       CASE WHEN {bucket} < {val_permille} THEN 'val'
+            WHEN {bucket} < {val_permille + test_permille} THEN 'test'
+            ELSE 'train' END AS split
+FROM documents
+"""
