@@ -52,3 +52,43 @@ def run_available_now(
         .start()
     )
     q.awaitTermination()
+
+
+def run_streaming_dedup(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+) -> None:
+    """Stateful cross-increment exact dedup: first-seen content wins.
+
+    The streaming counterpart of ``ops.dedup.exact_dedup``: the content
+    fingerprint (md5 of the normalized concatenated span texts) keys a
+    ``dropDuplicates`` whose seen-set lives in the streaming state
+    store — a document whose content already appeared in ANY earlier
+    increment is suppressed, surviving restarts via the checkpoint.
+    ``Trigger.AvailableNow`` keeps it batch-shaped operationally.
+
+    State note: without a watermark the seen-fingerprint state grows
+    with the distinct corpus — that IS the semantics of global exact
+    dedup (the state is the dedup index; at lake scale, bound it by
+    keying on the fingerprint only, which this does — state rows are
+    (fp) not (fp, document)). A TTL'd variant would add an event-time
+    column + ``withWatermark`` before the ``dropDuplicates``.
+    """
+    reader = spark.readStream.schema(SPANS_SCHEMA).parquet(input_dir)
+    fingerprinted = reader.selectExpr(
+        "doc_id",
+        "spans",
+        "md5(concat_ws('\\u0001', transform(spans, s -> coalesce(s.text, ''))))"
+        " as fp",
+    )
+    deduped = fingerprinted.dropDuplicates(["fp"])
+    q = (
+        deduped.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
