@@ -374,3 +374,112 @@ ranked AS (
 )
 SELECT qid, vec_id, rank::INTEGER AS rank, sim_micro FROM ranked WHERE rank <= {k}
 """
+
+
+# ---------------------------------------------------------------------------
+# banded ANN top-k (the recall-dialed scale path)
+# ---------------------------------------------------------------------------
+
+ANN_BANDS = 8
+ANN_BAND_BITS = 8
+
+
+def banded_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = DEFAULT_K,
+    n_queries: int = DEFAULT_N_QUERIES,
+    n_bands: int = ANN_BANDS,
+    band_bits: int = ANN_BAND_BITS,
+) -> DataFrame:
+    """Approximate top-k with banded hyperplane LSH (multi-probe).
+
+    ``lsh_bucket_topk`` probes ONE bucket (exact signature match) —
+    recall collapses as bits grow. The banded variant collects
+    candidates sharing ANY of ``n_bands`` independent ``band_bits``-bit
+    signatures with the query (recall 1-(1-p^bits)^bands, a dial), then
+    exact-cosine re-ranks. Candidates are deduped on scalar ids BEFORE
+    the re-rank window; queries stay broadcast, so the scan is
+    map-side until the final per-query top-k.
+
+    Measured on the driver's embeddings (near-random vectors, true
+    top-5 at cos≈0.45 — pathological for LSH): single-bucket recall
+    0.03, banded 0.07 at the defaults. On corpora with real similarity
+    structure (top-k at cos ≥ 0.8) the same defaults give
+    1-(1-0.8^8)^8 ≈ 0.82; the dial is bands × bits, not code.
+    """
+    emb = _emb(spark, sf_dir)
+    dim = _embedding_dim(sf_dir)
+    sigs = _band_sig_exprs(dim, quote=False, n_bands=n_bands, band_bits=band_bits)
+    structs = ", ".join(
+        f"named_struct('band', {b}, 'key', cast({sig} as int))"
+        for b, sig in enumerate(sigs)
+    )
+    bands = emb.selectExpr(
+        "vec_id", "embedding", f"explode(array({structs})) as bb"
+    ).selectExpr("vec_id", "embedding", "bb.band as band", "bb.key as key")
+    queries = bands.filter(F.col("vec_id") < n_queries).selectExpr(
+        "vec_id as qid", "embedding as q", "band", "key"
+    )
+    dot = _DOT.format(a="embedding", b="q")
+    na = _NORM.format(a="embedding")
+    nb = _NORM.format(a="q")
+    scored = (
+        bands.join(F.broadcast(queries), ["band", "key"])
+        .filter("vec_id != qid")
+        .selectExpr(
+            "qid",
+            "vec_id",
+            f"cast(floor({dot} / ({na} * {nb}) * 1000000) as bigint) as sim_micro",
+        )
+        .distinct()  # a pair can match in several bands; dedup scalars
+    )
+    return (
+        scored.withColumn(
+            "rank",
+            F.expr(
+                "row_number() over (partition by qid"
+                " order by sim_micro desc, vec_id asc)"
+            ),
+        )
+        .filter(F.col("rank") <= k)
+        .selectExpr("qid", "vec_id", "cast(rank as int) rank", "sim_micro")
+    )
+
+
+def banded_topk_sql(
+    k: int = DEFAULT_K,
+    n_queries: int = DEFAULT_N_QUERIES,
+    n_bands: int = ANN_BANDS,
+    band_bits: int = ANN_BAND_BITS,
+    dim: int = 64,
+) -> str:
+    sigs = _band_sig_exprs(dim, quote=True, n_bands=n_bands, band_bits=band_bits)
+    band_rows = " UNION ALL ".join(
+        f"SELECT vec_id, embedding, {b} AS band, CAST({sig} AS INTEGER) AS key"
+        " FROM embeddings"
+        for b, sig in enumerate(sigs)
+    )
+    cos = (
+        "list_sum(list_transform(range(1, len(e.embedding) + 1),"
+        " i -> e.embedding[i]::DOUBLE * q.q[i]::DOUBLE))"
+        " / (sqrt(list_sum(list_transform(e.embedding, x -> x::DOUBLE * x::DOUBLE)))"
+        " * sqrt(list_sum(list_transform(q.q, x -> x::DOUBLE * x::DOUBLE))))"
+    )
+    return f"""
+WITH bands AS ({band_rows}),
+q AS (SELECT vec_id AS qid, embedding AS q, band, key FROM bands
+      WHERE vec_id < {n_queries}),
+scored AS (
+  SELECT DISTINCT q.qid, e.vec_id,
+    CAST(floor({cos} * 1000000) AS BIGINT) AS sim_micro
+  FROM bands e JOIN q USING (band, key) WHERE e.vec_id != q.qid
+),
+ranked AS (
+  SELECT qid, vec_id, sim_micro,
+         row_number() OVER (PARTITION BY qid ORDER BY sim_micro DESC, vec_id ASC)
+           AS rank
+  FROM scored
+)
+SELECT qid, vec_id, rank::INTEGER AS rank, sim_micro FROM ranked WHERE rank <= {k}
+"""
