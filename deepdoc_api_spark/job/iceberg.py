@@ -34,9 +34,17 @@ CHUNKS_DDL_COLS = (
     "chunk_id string, doc_id string, chunk_index int, kind string, "
     "text string, media_ref string, pages array<int>, "
     "hierarchy array<string>, headings array<string>, chunker_type string, "
-    "chunk_size int, chunk_overlap int, extractor_used string, "
-    "run_id string, input_snapshot string"
+    "chunk_size int, chunk_overlap int, "
+    "bbox struct<left:double,top:double,right:double,bottom:double,"
+    "width:double,height:double,area:double>, "
+    "extractor_used string, "
+    "run_id string, input_snapshot string, partition_id int"
 )
+
+
+def _sq(value: str) -> str:
+    """Escape a value for a single-quoted SQL literal."""
+    return str(value).replace("'", "''")
 
 PROGRESS_DDL_COLS = (
     "run_id string, partition_id int, status string, docs bigint, "
@@ -103,7 +111,7 @@ def completed_buckets_sql(
     """Bucket ids already committed for THIS lineage (snapshot + bucket
     count) — the Iceberg twin of ``checkpoint.completed_buckets``."""
     progress = f"{catalog}.{namespace}.progress"
-    snap = input_snapshot.replace("'", "''")
+    snap = _sq(input_snapshot)
     return (
         f"SELECT DISTINCT partition_id FROM {progress} "
         f"WHERE status = 'completed' AND input_snapshot = '{snap}' "
@@ -165,13 +173,14 @@ def run_checkpointed_iceberg(
 
     Differences from the parquet branch: the atomic unit is the Iceberg
     snapshot commit, not a per-bucket file rename — chunks of ALL
-    processed buckets land in one ``append()`` (all-or-nothing), then
-    the progress MERGE records them. A crash between the two leaves
-    committed chunks without progress rows; the follow-up run's MERGE
-    is idempotent and the re-append of those buckets is prevented by
-    re-running the whole increment (chunks dedup on (run lineage,
-    bucket) via an ``overwritePartitions`` variant is left configurable
-    — append is the conservative default documented here).
+    processed buckets land in one ``append()``, then the progress MERGE
+    records them. A crash BETWEEN the two would leave committed chunks
+    with no progress rows; the recovery step below makes re-runs
+    idempotent anyway: before processing, any chunk rows of THIS
+    lineage whose ``partition_id`` lacks a completed progress row are
+    orphans from an interrupted attempt and are deleted (one snapshot
+    ``DELETE`` on the bucket-pruned partition set), so re-appending the
+    reprocessed buckets can never duplicate rows.
     """
     from pyspark.sql import functions as F
 
@@ -180,6 +189,19 @@ def run_checkpointed_iceberg(
     _require(spark)
     ensure_tables(spark, catalog, namespace, num_buckets)
     done = completed_buckets(spark, catalog, namespace, input_snapshot, num_buckets)
+
+    # recovery: drop orphaned chunks (appended, never recorded) of this
+    # lineage — those buckets are about to be reprocessed
+    chunks_tbl = f"{catalog}.{namespace}.chunks"
+    done_pred = (
+        f"AND partition_id NOT IN ({', '.join(str(b) for b in done)}) "
+        if done
+        else ""
+    )
+    spark.sql(
+        f"DELETE FROM {chunks_tbl} "
+        f"WHERE input_snapshot = '{_sq(input_snapshot)}' {done_pred}"
+    )
 
     work = spans_df.select("doc_id", "spans").withColumn(
         "bucket", F.pmod(F.xxhash64("doc_id"), F.lit(num_buckets)).cast("int")
@@ -190,10 +212,14 @@ def run_checkpointed_iceberg(
         work = work.filter(F.col("bucket").isin([int(b) for b in bucket_filter]))
     work = work.repartition(num_buckets, "bucket")
 
-    chunks = chunk_documents(
-        work.select("doc_id", "spans"), chunker_type, token_budget
-    ).withColumn("run_id", F.lit(run_id)).withColumn(
-        "input_snapshot", F.lit(input_snapshot)
+    chunks = (
+        chunk_documents(work.select("doc_id", "spans"), chunker_type, token_budget)
+        .withColumn("run_id", F.lit(run_id))
+        .withColumn("input_snapshot", F.lit(input_snapshot))
+        .withColumn(
+            "partition_id",
+            F.pmod(F.xxhash64("doc_id"), F.lit(num_buckets)).cast("int"),
+        )
     )
     append_chunks(chunks, catalog, namespace)
 
@@ -211,14 +237,14 @@ def run_checkpointed_iceberg(
             ).alias("bytes"),
         )
         .selectExpr(
-            f"'{run_id}' as run_id",
+            f"'{_sq(run_id)}' as run_id",
             "partition_id",
             "'completed' as status",
             "docs",
             "cast(0 as bigint) as chunks",
             "bytes",
             "cast(0 as bigint) as wall_ms",
-            f"'{input_snapshot}' as input_snapshot",
+            f"'{_sq(input_snapshot)}' as input_snapshot",
             f"cast({int(num_buckets)} as int) as num_buckets",
             "current_timestamp() as ts",
         )

@@ -80,7 +80,10 @@ def run_streaming_dedup(
     fingerprinted = reader.selectExpr(
         "doc_id",
         "spans",
-        "md5(concat_ws('\\u0001', transform(spans, s -> coalesce(s.text, ''))))"
+        # per-span lower+trim normalization, matching the batch
+        # exact_dedup's md5(lower(trim(text))) semantics on span texts
+        "md5(concat_ws('\\u0001',"
+        " transform(spans, s -> lower(trim(coalesce(s.text, ''))))))"
         " as fp",
     )
     deduped = fingerprinted.dropDuplicates(["fp"])

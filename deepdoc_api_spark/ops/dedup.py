@@ -552,30 +552,21 @@ def ngram_doc_frequency_sql(min_df: int = 50, top_k: int = 100) -> str:
 # ---------------------------------------------------------------------------
 
 
-def near_dup_components(
-    spark: SparkSession,
-    sf_dir: str,
-    threshold_milli: int = 500,
-    max_iterations: int = 20,
-) -> DataFrame:
-    """Connected components over the Jaccard near-dup pair graph — the
-    keeper-assignment step that turns pairwise dedup evidence into a
-    per-document verdict (component id = min doc_id in the component;
-    ``is_keeper`` marks the survivor).
+def _label_components(pairs: DataFrame, max_iterations: int = 1000) -> DataFrame:
+    """Connected components of an undirected (doc_a, doc_b) pair list by
+    iterative min-label propagation.
 
-    Iterative min-label propagation: each round joins the current
-    labels across the (symmetrized) edge list and takes the min — a
-    label-propagation union-find whose round count is the graph
-    diameter (near-dup components are tiny cliques in practice, so 2-3
-    rounds; ``max_iterations`` bounds pathology). Each round is one
-    shuffle on doc_id; the loop exits early when a round changes no
-    label (count of improved labels — a cheap aggregate, not a
-    collect of the data).
+    Each round joins the current labels across the symmetrized edge
+    list and takes the min — a label-propagation union-find whose round
+    count is the graph diameter (near-dup components are tiny cliques
+    in practice, so 2-3 rounds). Each round is one shuffle on doc_id;
+    the loop exits when a round changes no label (a cheap aggregate,
+    not a collect of the data). The loop MUST reach the fixpoint — a
+    truncated run would silently disagree with the exact-closure oracle
+    — so exceeding ``max_iterations`` (a diameter far beyond any real
+    dedup graph) raises instead of returning wrong labels.
     """
-    pairs = jaccard_near_dup_pairs(spark, sf_dir, threshold_milli).select(
-        "doc_a", "doc_b"
-    )
-    pairs = pairs.localCheckpoint(eager=True)  # cut the LSH lineage once
+    pairs = pairs.select("doc_a", "doc_b").localCheckpoint(eager=True)
     edges = pairs.unionByName(
         pairs.selectExpr("doc_b as doc_a", "doc_a as doc_b")
     )
@@ -605,8 +596,26 @@ def near_dup_components(
         n_changed = improved.filter("new_component != component").count()
         labels = improved.selectExpr("doc_id", "new_component as component")
         if n_changed == 0:
-            break
+            return labels
+    raise RuntimeError(
+        f"component labels did not converge within {max_iterations} rounds"
+        " (graph diameter exceeds the safety bound)"
+    )
 
+
+def near_dup_components(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold_milli: int = 500,
+) -> DataFrame:
+    """Connected components over the Jaccard near-dup pair graph — the
+    keeper-assignment step that turns pairwise dedup evidence into a
+    per-document verdict (component id = min doc_id in the component;
+    ``is_keeper`` marks the survivor). See :func:`_label_components`.
+    """
+    labels = _label_components(
+        jaccard_near_dup_pairs(spark, sf_dir, threshold_milli)
+    )
     return labels.selectExpr(
         "doc_id", "component", "cast(doc_id = component as boolean) as is_keeper"
     )
@@ -651,45 +660,71 @@ def dedup_verdicts(
     * ``kept`` otherwise. ``keeper`` names the surviving doc for dropped
       rows (itself for kept rows).
 
-    Precedence mirrors a real pipeline: exact dedup first (cheap, one
-    shuffle), near-dup verdicts only consulted for exact survivors.
+    The components close over the UNION of exact-dup edges and near-dup
+    pairs, so ``keeper`` always names a surviving document: the
+    component minimum cannot itself be an exact dup (its fingerprint
+    keeper would be a smaller member of the same component), and an
+    exact keeper outside any component has no dedup evidence against it
+    — keeper chains can never point at a dropped document.
     """
     exact = exact_dedup(spark, sf_dir).selectExpr(
         "doc_id", "keeper as exact_keeper", "is_dup as is_exact_dup"
     )
-    comps = near_dup_components(spark, sf_dir, threshold_milli).selectExpr(
-        "doc_id", "component as near_keeper", "is_keeper as is_near_keeper"
+    exact_edges = exact.filter("is_exact_dup").selectExpr(
+        "exact_keeper as doc_a", "doc_id as doc_b"
+    )
+    near_pairs = jaccard_near_dup_pairs(spark, sf_dir, threshold_milli).select(
+        "doc_a", "doc_b"
+    )
+    comps = _label_components(near_pairs.unionByName(exact_edges)).selectExpr(
+        "doc_id", "component"
     )
     return (
         exact.join(comps, "doc_id", "left")
         .selectExpr(
             "doc_id",
             "case when is_exact_dup then 'exact_dup'"
-            " when near_keeper is not null and not is_near_keeper"
+            " when component is not null and component != doc_id"
             " then 'near_dup' else 'kept' end as verdict",
-            "case when is_exact_dup then exact_keeper"
-            " when near_keeper is not null and not is_near_keeper"
-            " then near_keeper else doc_id end as keeper",
+            "case when component is not null then component"
+            " when is_exact_dup then exact_keeper"
+            " else doc_id end as keeper",
         )
     )
 
 
 def dedup_verdicts_sql(threshold_milli: int = 500) -> str:
-    comps = near_dup_components_sql(threshold_milli)
+    near = jaccard_near_dup_pairs_sql(threshold_milli)
     return f"""
-WITH comps AS ({comps}),
+WITH RECURSIVE near_base AS ({near}),
 fp AS (SELECT doc_id, md5(lower(trim(text))) AS fp FROM documents),
 k AS (SELECT fp, min(doc_id) AS keeper FROM fp GROUP BY fp),
 exact AS (
   SELECT f.doc_id, k.keeper AS exact_keeper, (f.doc_id != k.keeper) AS is_exact_dup
   FROM fp f JOIN k USING (fp)
-)
+),
+-- components close over exact-dup edges UNION near-dup pairs, so the
+-- component minimum always survives (see dedup_verdicts docstring)
+edges AS (
+  SELECT doc_a, doc_b FROM near_base
+  UNION ALL SELECT doc_b, doc_a FROM near_base
+  UNION ALL SELECT exact_keeper, doc_id FROM exact WHERE is_exact_dup
+  UNION ALL SELECT doc_id, exact_keeper FROM exact WHERE is_exact_dup
+),
+nodes AS (SELECT DISTINCT doc_a AS doc_id FROM edges),
+reach AS (
+  SELECT doc_id, doc_id AS other FROM nodes
+  UNION
+  SELECT r.doc_id, e.doc_b AS other
+  FROM reach r JOIN edges e ON e.doc_a = r.other
+),
+comps AS (SELECT doc_id, min(other) AS component FROM reach GROUP BY doc_id)
 SELECT e.doc_id,
   CASE WHEN e.is_exact_dup THEN 'exact_dup'
-       WHEN c.component IS NOT NULL AND NOT c.is_keeper THEN 'near_dup'
+       WHEN c.component IS NOT NULL AND c.component != e.doc_id THEN 'near_dup'
        ELSE 'kept' END AS verdict,
-  CASE WHEN e.is_exact_dup THEN e.exact_keeper
-       WHEN c.component IS NOT NULL AND NOT c.is_keeper THEN c.component
+  CASE WHEN c.component IS NOT NULL THEN c.component
+       WHEN e.is_exact_dup THEN e.exact_keeper
        ELSE e.doc_id END AS keeper
 FROM exact e LEFT JOIN comps c ON c.doc_id = e.doc_id
 """

@@ -108,7 +108,10 @@ def fallback_window_chunks_sql(
     )
     return f"""
 WITH RECURSIVE d AS (
-  SELECT doc_id, rtrim(repeat(text || ' ', {replicas}), ' ') AS c FROM documents
+  -- exact twin of Python's ' '.join([text]*{replicas}) — text || 8×(' '||text)
+  -- (an rtrim(repeat(...)) formulation diverges when text itself has
+  -- trailing whitespace: join keeps it, rtrim strips it)
+  SELECT doc_id, (text || repeat(' ' || text, {replicas - 1})) AS c FROM documents
 ),
 dn AS (SELECT doc_id, c, length(c) AS n FROM d),
 w AS (

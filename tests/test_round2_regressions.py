@@ -318,3 +318,66 @@ def test_real_decode_path_raises_cleanly():
 
     with _pytest.raises(NotImplementedError):
         decode_media(b"x", "image", fake=False)
+
+
+# ---------------------------------------------------------------------------
+# 8. dedup keeper chains must terminate at surviving documents
+# ---------------------------------------------------------------------------
+
+
+def test_dedup_keeper_always_survives(spark, tmp_path):
+    """An exact-dup's keeper that is itself a near-dup non-keeper must
+    not be named as anyone's keeper: components close over the union of
+    exact and near edges, so keepers always survive."""
+    import duckdb
+    import pandas as pd
+
+    import __spark_entry__ as entry_mod
+
+    base = " ".join(f"tok{i}" for i in range(30))
+    docs = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2],
+            # 0 near-dup of 1/2 (one word differs); 1 and 2 identical
+            "text": [base, base.replace("tok29", "tokX"), base.replace("tok29", "tokX")],
+        }
+    )
+    sf = str(tmp_path / "sf")
+    import os
+
+    os.makedirs(sf, exist_ok=True)
+    docs.to_parquet(os.path.join(sf, "documents.parquet"))
+
+    from deepdoc_api_spark.ops.dedup import dedup_verdicts, dedup_verdicts_sql
+
+    got = {r["doc_id"]: (r["verdict"], r["keeper"]) for r in
+           dedup_verdicts(spark, sf).collect()}
+    assert got[0] == ("kept", 0)
+    assert got[1] == ("exact_dup", 0) or got[1] == ("near_dup", 0)
+    # the crucial assertion: doc 2's keeper must be the SURVIVOR (0),
+    # never the dropped doc 1
+    assert got[2][1] == 0, f"keeper points at a dropped doc: {got}"
+    kept = {d for d, (v, _k) in got.items() if v == "kept"}
+    assert all(k in kept for _v, k in got.values()), "non-surviving keeper"
+
+    # oracle agrees on the same crafted table
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')"
+    )
+    odf = con.execute(dedup_verdicts_sql()).df()
+    want = {int(r.doc_id): (r.verdict, int(r.keeper)) for r in odf.itertuples()}
+    assert want == got
+
+
+def test_iceberg_chunks_ddl_matches_engine_schema():
+    """The Iceberg chunks DDL must cover every engine chunk column (a
+    missing column makes writeTo().append() fail on first real use)."""
+    from deepdoc_api_spark.job.iceberg import CHUNKS_DDL_COLS
+    from deepdoc_api_spark.schema import CHUNK_COLUMNS
+
+    ddl_cols = {c.strip().split()[0] for c in CHUNKS_DDL_COLS.split(", ")}
+    missing = set(CHUNK_COLUMNS) - ddl_cols
+    assert not missing, f"Iceberg chunks DDL missing engine columns: {missing}"
+    for lineage_col in ("run_id", "input_snapshot", "partition_id"):
+        assert lineage_col in ddl_cols
