@@ -216,7 +216,9 @@ def hybrid_chunks(
                     if p not in prev["pages"]:
                         prev["pages"].append(p)
                 continue
-        merged.append(dict(el))
+        # no defensive copy: elements/split pieces are owned by this call
+        # and never re-read after the merge loop mutates them
+        merged.append(el)
 
     chunks: List[Dict] = []
     for el in merged:
@@ -374,7 +376,10 @@ def assemble_chunks(
         if not text and kind != "media":
             continue
         pages = ch.get("pages") or []
-        pages = sorted({int(p) for p in pages}) or [1]
+        if len(pages) == 1:  # fast path: the overwhelmingly common case
+            pages = [int(pages[0])]
+        else:
+            pages = sorted({int(p) for p in pages}) or [1]
         chunk_id = f"{doc_id}:{chunker_type}:{idx}"
         out.append(
             {

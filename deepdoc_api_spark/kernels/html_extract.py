@@ -85,6 +85,29 @@ _TAG_RE = re.compile(
     r"((?:[^>\"']|\"[^\"]*\"|'[^']*')*)"
     r">"
 )
+
+# Per-tag classification bits, folded into ONE dict lookup on the scan
+# hot path (the per-event set probes were ~15% of scanner time).
+_F_VOID, _F_DROP, _F_BOILER, _F_LEAF, _F_CONTAINER = 1, 2, 4, 8, 16
+_F_IMG, _F_BR, _F_A, _F_TABLE, _F_TR, _F_CELL = 32, 64, 128, 256, 512, 1024
+_TAG_FLAGS: Dict[str, int] = {}
+for _t in _VOID_TAGS:
+    _TAG_FLAGS[_t] = _F_VOID
+_TAG_FLAGS["img"] |= _F_IMG
+_TAG_FLAGS["br"] |= _F_BR
+for _t in _DROP_TAGS:
+    _TAG_FLAGS[_t] = _F_DROP
+for _t in _BOILERPLATE_TAGS:
+    _TAG_FLAGS[_t] = _F_BOILER
+for _t in _LEAF_KIND:
+    _TAG_FLAGS[_t] = _F_LEAF
+for _t in _CONTAINER_TAGS:
+    _TAG_FLAGS[_t] = _F_CONTAINER
+_TAG_FLAGS["a"] = _F_A
+_TAG_FLAGS["table"] = _F_TABLE
+_TAG_FLAGS["tr"] = _F_TR
+_TAG_FLAGS["td"] = _F_CELL
+_TAG_FLAGS["th"] = _F_CELL
 _ATTR_RE = re.compile(
     r"([a-zA-Z][a-zA-Z0-9_-]*)\s*=\s*(?:\"([^\"]*)\"|'([^']*)'|(\S+))"
 )
@@ -109,9 +132,6 @@ class _Block:
         self.parts: List[str] = []
         self.link_chars = 0
         self.boiler = boiler
-
-    def text(self) -> str:
-        return _norm("".join(self.parts))
 
 
 class _Sink:
@@ -145,10 +165,11 @@ class _Sink:
         return self._boiler_depth > 0
 
     def _emit(self, block: _Block) -> None:
-        text = block.text()
+        raw = "".join(block.parts)
+        text = _norm(raw)
         if not text or block.boiler:
             return
-        density = block.link_chars / max(len("".join(block.parts).strip()), 1)
+        density = block.link_chars / max(len(raw.strip()), 1)
         if density > LINK_DENSITY_MAX:
             return
         if block.kind == "text" and len(text) < MIN_TEXT_CHARS:
@@ -180,8 +201,9 @@ class _Sink:
 
     # -- events --------------------------------------------------------
     def starttag(self, tag: str, attrstr: str) -> None:
-        if tag in _VOID_TAGS:
-            if tag == "img" and self._drop_depth == 0 and not self._in_boiler():
+        f = _TAG_FLAGS.get(tag, 0)
+        if f & _F_VOID:
+            if f & _F_IMG and self._drop_depth == 0 and not self._boiler_depth:
                 src = _attr_dict(attrstr).get("src") or "" if attrstr else ""
                 if src:
                     self._flush_floating()
@@ -189,16 +211,16 @@ class _Sink:
                     self.records.append(
                         {"kind": "media", "text": "", "media_ref": src}
                     )
-            elif tag == "br" and (
+            elif f & _F_BR and (
                 self._block or self._floating or self._table_cell is not None
             ):
                 self.data(" ", False)
             return
 
-        is_drop = tag in _DROP_TAGS
+        is_drop = bool(f & _F_DROP)
         is_boiler = False
         if not is_drop:
-            if tag in _BOILERPLATE_TAGS:
+            if f & _F_BOILER:
                 is_boiler = True
             elif attrstr and ("class" in attrstr or "id" in attrstr):
                 attrs = _attr_dict(attrstr)
@@ -222,40 +244,41 @@ class _Sink:
         # order) so links inside table cells count toward
         # _table_link_chars — otherwise link-dense nav tables are never
         # density-filtered and an in-table </a> unbalances an outer link
-        if tag == "a":
+        if f & _F_A:
             self._a_depth += 1
             return
-        if tag == "table":
+        if f & _F_TABLE:
             self._flush_floating()
             self._close_block()
             self._table_depth += 1
             if self._table_depth == 1:
                 self._table_rows = []
                 self._table_cell = None
-                self._table_boiler = self._in_boiler()
+                self._table_boiler = self._boiler_depth > 0
                 self._table_link_chars = 0
                 self._table_chars = 0
             return
         if self._table_depth:
-            if tag == "tr":
+            if f & _F_TR:
                 self._table_rows.append([])
                 self._table_cell = None
-            elif tag in ("td", "th"):
+            elif f & _F_CELL:
                 if not self._table_rows:
                     self._table_rows.append([])
                 self._table_cell = []
             return
-        if tag in _LEAF_KIND:
+        if f & _F_LEAF:
             self._flush_floating()
             self._close_block()
-            self._block = _Block(_LEAF_KIND[tag], self._in_boiler())
+            self._block = _Block(_LEAF_KIND[tag], self._boiler_depth > 0)
             self._block_tag = tag
-        elif tag in _CONTAINER_TAGS:
+        elif f & _F_CONTAINER:
             self._flush_floating()
             self._close_block()
 
     def endtag(self, tag: str) -> None:
-        if tag in _VOID_TAGS:
+        f = _TAG_FLAGS.get(tag, 0)
+        if f & _F_VOID:
             return
         # unwind stack to the matching open tag (lenient HTML)
         stack = self._stack
@@ -275,10 +298,10 @@ class _Sink:
                 if popped_tag == tag:
                     break
 
-        if tag == "a" and self._a_depth:
+        if f & _F_A and self._a_depth:
             self._a_depth -= 1
             return
-        if tag == "table" and self._table_depth:
+        if f & _F_TABLE and self._table_depth:
             self._table_depth -= 1
             if self._table_depth == 0:
                 if self._table_cell is not None and self._table_rows:
@@ -287,7 +310,7 @@ class _Sink:
                 self._emit_table()
             return
         if self._table_depth:
-            if tag in ("td", "th") and self._table_cell is not None:
+            if f & _F_CELL and self._table_cell is not None:
                 if not self._table_rows:
                     self._table_rows.append([])
                 self._table_rows[-1].append(_norm("".join(self._table_cell)))
@@ -295,7 +318,7 @@ class _Sink:
             return
         if tag == self._block_tag:
             self._close_block()
-        elif tag in _CONTAINER_TAGS or tag in _BOILERPLATE_TAGS:
+        elif f & (_F_CONTAINER | _F_BOILER):
             self._flush_floating()
             self._close_block()
 
