@@ -759,3 +759,195 @@ FROM expected WHERE kind IS NOT NULL
 
 
 HTML_FLAT_SQL = _html_flat_sql()
+
+
+# ---------------------------------------------------------------------------
+# O3 mixed-kind fold — real span->record->fold kernels vs relational oracle
+# ---------------------------------------------------------------------------
+#
+# Round-2 verdict gap: the flat family exercised only title/text records,
+# leaving O3's list/table/media branches and the fold's type-merge matrix
+# (layout_processor.py:104-129, 154-167) differential-only. This class
+# feeds REAL SPANS (the external input contract shape) through the REAL
+# `chunk_document(..., "mineru")` kernel — span_to_records (O3 dispatch +
+# unknown-kind drop, S4) then the full fold — and DuckDB re-derives the
+# output from the same index arithmetic. Slot map (i % 16; titles at
+# i % 4 == 0 are unique, so O4 suppression never fires here — that branch
+# is `mineru_flat_chunks`' job):
+#
+#   1 text, 2 UNKNOWN(dropped), 3 text   -> text-text merge ACROSS a drop
+#   5 text, 6 list, 7 list              -> text->list + list->list merge
+#   9 table, 10 table, 11 media         -> table-table merge, media break
+#   13 media, 14 media, 15 list         -> adjacent media never merge; fresh list run
+#
+# offset = i*300 puts page boundaries (offset//1000+1) out of phase with
+# titles, so merged runs cross pages -> "a - b" range labels exercised.
+
+MIXED_FLAT_DDL = (
+    "doc_id bigint, chunk_index int, kind string, text string, "
+    "hierarchy string, pages string, media_ref string, chunk_size bigint"
+)
+
+
+def _mixed_spans_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = spark.sparkContext.defaultParallelism * 2
+    docs = (
+        spark.read.parquet(f"{sf_dir.rstrip('/')}/documents.parquet")
+        .select("doc_id", "text")
+        .repartition(n, "doc_id")
+    )
+    rep = " || ' ' || ".join(["trim(text)"] * REPLICAS)
+    grp = f"concat_ws(' ', slice(ws, i * {GROUP_WORDS} + 1, {GROUP_WORDS}))"
+    return docs.selectExpr(
+        "doc_id", f"split({rep}, '\\\\s+') as ws"
+    ).selectExpr(
+        "doc_id",
+        f"""
+        transform(sequence(0, cast(ceil(size(ws) / {GROUP_WORDS}.0) as int) - 1),
+          i -> named_struct(
+            'kind', case when i % 4 = 0 then 'title'
+                         when i % 16 in (1, 3, 5) then 'text'
+                         when i % 16 in (6, 7, 15) then 'list'
+                         when i % 16 in (9, 10) then 'table'
+                         when i % 16 in (11, 13, 14) then 'media'
+                         else 'unknown' end,
+            'text', case when i % 4 = 0 then concat('H', cast(i as string), ' ', {grp})
+                         when i % 16 in (9, 10) then concat('<table>', {grp}, '</table>')
+                         when i % 16 in (11, 13, 14) then ''
+                         else {grp} end,
+            'media_ref', case
+                when i % 16 in (11, 13, 14)
+                  then concat('m://', cast(doc_id as string), '/', cast(i as string))
+                when i % 16 in (9, 10)
+                  then concat('t://', cast(doc_id as string), '/', cast(i as string))
+                else '' end,
+            'offset', cast(i * 300 as int)))
+        as spans
+        """,
+    )
+
+
+def mineru_flat_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spans_df = _mixed_spans_spark(spark, sf_dir)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import json
+
+        from deepdoc_api_spark.kernels.pipeline import chunk_document
+
+        for pdf in batches:
+            rows = []
+            for doc_id, spans in zip(pdf["doc_id"], pdf["spans"]):
+                chunks = chunk_document(
+                    str(doc_id),
+                    [dict(s) for s in (spans if spans is not None else [])],
+                    "mineru",
+                )
+                for ch in chunks:
+                    rows.append(
+                        (
+                            int(doc_id),
+                            ch["chunk_index"],
+                            ch["kind"],
+                            ch["text"],
+                            " >> ".join(ch["hierarchy"] or []),
+                            json.dumps(ch["pages"], separators=(",", ":")),
+                            ch["media_ref"],
+                            ch["chunk_size"],
+                        )
+                    )
+            if rows:
+                yield pd.DataFrame(
+                    rows,
+                    columns=[
+                        "doc_id", "chunk_index", "kind", "text",
+                        "hierarchy", "pages", "media_ref", "chunk_size",
+                    ],
+                )
+
+    return spans_df.mapInPandas(run, MIXED_FLAT_DDL)
+
+
+def _mixed_flat_sql() -> str:
+    rep = " || ' ' || ".join(["trim(text)"] * REPLICAS)
+    grp = (
+        f"array_to_string(ws[i * {GROUP_WORDS} + 1 :"
+        f" i * {GROUP_WORDS} + {GROUP_WORDS}], ' ')"
+    )
+    return f"""
+WITH w AS (SELECT doc_id, regexp_split_to_array({rep}, '\\s+') AS ws FROM documents),
+idx AS (SELECT doc_id, ws, unnest(range(0, CAST(ceil(len(ws) / {GROUP_WORDS}.0) AS INTEGER))) AS i FROM w),
+-- the span->record map (O3): unknown kinds dropped, others 1:1; the
+-- kept stream below is what format_records sees
+r AS (
+  SELECT doc_id, i AS seq,
+    CASE WHEN i % 4 = 0 THEN 'title'
+         WHEN i % 16 IN (1, 3, 5) THEN 'text'
+         WHEN i % 16 IN (6, 7, 15) THEN 'list'
+         WHEN i % 16 IN (9, 10) THEN 'table'
+         ELSE 'media' END AS kind,
+    CASE WHEN i % 4 = 0 THEN 'H' || i || ' ' || {grp}
+         WHEN i % 16 IN (9, 10) THEN '<table>' || {grp} || '</table>'
+         WHEN i % 16 IN (11, 13, 14) THEN ''
+         ELSE {grp} END AS content,
+    CASE WHEN i % 16 IN (11, 13, 14) THEN 'm://' || doc_id || '/' || i
+         WHEN i % 16 IN (9, 10) THEN 't://' || doc_id || '/' || i
+         ELSE '' END AS media_ref,
+    ((i * 300) // 1000) + 1 AS page
+  FROM idx WHERE i % 16 != 2
+),
+-- hierarchy: unique titles -> stack == [last title] (O5 on this class)
+h AS (
+  SELECT *,
+    last_value(CASE WHEN kind = 'title' THEN content END IGNORE NULLS)
+      OVER (PARTITION BY doc_id ORDER BY seq
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hier,
+    lag(kind) OVER (PARTITION BY doc_id ORDER BY seq) AS prev_kind
+  FROM r
+),
+-- O6 merge matrix: same-kind (except media) or text->list continues a
+-- run; titles and media always break (media also breaks what follows)
+k AS (
+  SELECT *,
+    (NOT coalesce((kind = prev_kind AND kind != 'media')
+                  OR (prev_kind = 'text' AND kind = 'list'), FALSE))::INTEGER
+      AS new_seg
+  FROM h WHERE kind != 'title'
+),
+segs AS (
+  SELECT *, sum(new_seg) OVER (PARTITION BY doc_id ORDER BY seq
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seg
+  FROM k
+),
+agg AS (
+  SELECT doc_id, seg, min(seq) AS ord,
+    arg_min(kind, seq) AS kind,
+    arg_min(media_ref, seq) AS media_ref,
+    coalesce(arg_min(hier, seq), '') AS hierarchy,
+    string_agg(content, chr(10) ORDER BY seq) AS body,
+    min(page) AS p_first, max(page) AS p_last
+  FROM segs GROUP BY doc_id, seg
+),
+chunks AS (
+  SELECT doc_id, ord, kind, hierarchy, media_ref,
+    CASE WHEN kind = 'media' THEN ''
+         ELSE doc_id::VARCHAR || ' >> ' ||
+              trim(hierarchy || chr(10) || body, ' ' || chr(10)) END AS text,
+    CASE WHEN kind = 'media' THEN '[' || p_first || ']'
+         ELSE '[' || array_to_string(
+                list_transform(range(p_first, p_last + 1), x -> x::VARCHAR), ',')
+              || ']' END AS pages
+  FROM agg
+  WHERE kind = 'media'
+     OR length(trim(hierarchy || chr(10) || body, ' ' || chr(10))) > 0
+)
+SELECT doc_id,
+  (row_number() OVER (PARTITION BY doc_id ORDER BY ord) - 1)::INTEGER
+    AS chunk_index,
+  kind, text, hierarchy, pages, media_ref,
+  length(text)::BIGINT AS chunk_size
+FROM chunks
+"""
+
+
+MIXED_FLAT_SQL = _mixed_flat_sql()

@@ -85,3 +85,25 @@ def test_rows_only_queries_run(spark, sf_dir):
     for k in spot:
         n = qs[k](spark, sf_dir).count()
         assert n >= 0, k
+
+
+def test_mineru_flat_mixed_exercises_type_matrix(spark, sf_dir):
+    """The mixed flat class must actually produce list/table/media
+    chunks, page-range merges, and media refs — otherwise it certifies
+    no more than the title/text family it extends."""
+    import json
+
+    from deepdoc_api_spark.ops.flat_pipeline import mineru_flat_mixed
+
+    rows = mineru_flat_mixed(spark, sf_dir).collect()
+    kinds = {r.kind for r in rows}
+    assert {"text", "list", "table", "media"} <= kinds, kinds
+    # adjacent-table merge keeps the FIRST table's t:// ref
+    assert any(r.kind == "table" and r.media_ref.startswith("t://") for r in rows)
+    assert any(r.kind == "media" and r.media_ref.startswith("m://") for r in rows)
+    # merged runs cross page boundaries -> multi-page labels
+    assert any(len(json.loads(r.pages)) > 1 for r in rows)
+    # text->list merge: a 'text' chunk whose body contains a list group
+    # exists iff slot-5 text merged slots 6-7 (kind stays 'text')
+    text_multi = [r for r in rows if r.kind == "text" and "\n" in r.text]
+    assert text_multi, "no merged text runs — the tt/tl matrix never fired"
