@@ -951,3 +951,93 @@ FROM chunks
 
 
 MIXED_FLAT_SQL = _mixed_flat_sql()
+
+
+# ---------------------------------------------------------------------------
+# aggregate stats over the mixed flat class — pure SQL in both engines
+# (round-2 verdict item 7: chunk_stats_per_doc / span_kind_histogram had
+# rows-only checks over the RNG corpus; on the flat class both are
+# value-exact: Spark aggregates the REAL kernel output, DuckDB aggregates
+# its independent relational re-derivation)
+# ---------------------------------------------------------------------------
+
+
+def mixed_chunk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    df = mineru_flat_mixed(spark, sf_dir)
+    return (
+        df.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum((F.col("kind") == "media").cast("long")).alias("n_media"),
+            F.sum("chunk_size").alias("total_chars"),
+            F.max("chunk_size").alias("max_chunk"),
+        )
+        .selectExpr(
+            "doc_id",
+            "cast(n_chunks as bigint) n_chunks",
+            "cast(n_media as bigint) n_media",
+            "cast(total_chars as bigint) total_chars",
+            "cast(max_chunk as bigint) max_chunk",
+        )
+    )
+
+
+MIXED_CHUNK_STATS_SQL = f"""
+SELECT doc_id,
+       count(*)::BIGINT AS n_chunks,
+       sum((kind = 'media')::INTEGER)::BIGINT AS n_media,
+       sum(chunk_size)::BIGINT AS total_chars,
+       max(chunk_size)::BIGINT AS max_chunk
+FROM ({_mixed_flat_sql()})
+GROUP BY doc_id
+"""
+
+
+def mixed_record_kind_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record-kind histogram AFTER S4 validation: Spark runs the real
+    ``extract_records`` (which drops unknown kinds), DuckDB re-derives
+    the kept stream by index arithmetic."""
+    from pyspark.sql import functions as F
+
+    spans_df = _mixed_spans_spark(spark, sf_dir)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from deepdoc_api_spark.kernels.layout import extract_records
+
+        for pdf in batches:
+            rows = []
+            for doc_id, spans in zip(pdf["doc_id"], pdf["spans"]):
+                for rec in extract_records(
+                    [dict(s) for s in (spans if spans is not None else [])]
+                ):
+                    rows.append((rec["kind"],))
+            if rows:
+                yield pd.DataFrame(rows, columns=["kind"])
+
+    recs = spans_df.mapInPandas(run, "kind string")
+    return (
+        recs.groupBy("kind")
+        .agg(F.count("*").alias("n_records"))
+        .selectExpr("kind", "cast(n_records as bigint) n_records")
+    )
+
+
+def _mixed_kind_histogram_sql() -> str:
+    rep = " || ' ' || ".join(["trim(text)"] * REPLICAS)
+    return f"""
+WITH w AS (SELECT doc_id, regexp_split_to_array({rep}, '\\s+') AS ws FROM documents),
+idx AS (SELECT doc_id, unnest(range(0, CAST(ceil(len(ws) / {GROUP_WORDS}.0) AS INTEGER))) AS i FROM w)
+SELECT CASE WHEN i % 4 = 0 THEN 'title'
+            WHEN i % 16 IN (1, 3, 5) THEN 'text'
+            WHEN i % 16 IN (6, 7, 15) THEN 'list'
+            WHEN i % 16 IN (9, 10) THEN 'table'
+            ELSE 'media' END AS kind,
+       count(*)::BIGINT AS n_records
+FROM idx WHERE i % 16 != 2
+GROUP BY 1
+"""
+
+
+MIXED_KIND_HISTOGRAM_SQL = _mixed_kind_histogram_sql()
