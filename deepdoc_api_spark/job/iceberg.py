@@ -119,6 +119,83 @@ def completed_buckets_sql(
     )
 
 
+def stale_epoch_cleanup_sql(
+    catalog: str, namespace: str, input_snapshot: str, num_buckets: int
+) -> List[str]:
+    """Invalidate state of a DIFFERENT bucket-count epoch for the same
+    input snapshot.
+
+    Chunk rows do not record the bucket count they were partitioned
+    under, so after a run with another ``num_buckets`` the snapshot's
+    chunks are a mixed epoch: the resume anti-join would treat the old
+    epoch's progress as complete while the orphan DELETE removed part
+    of the newer chunks — silent corruption (round-2 ADVICE). The
+    parquet branch refuses/rebuilds on lineage mismatch; the Iceberg
+    twin rebuilds: drop the other epoch's progress rows AND all chunks
+    of the snapshot, so the run starts from a consistent empty epoch.
+    """
+    progress = f"{catalog}.{namespace}.progress"
+    chunks = f"{catalog}.{namespace}.chunks"
+    snap = _sq(input_snapshot)
+    return [
+        (
+            f"DELETE FROM {progress} WHERE input_snapshot = '{snap}' "
+            f"AND num_buckets != {int(num_buckets)}"
+        ),
+        f"DELETE FROM {chunks} WHERE input_snapshot = '{snap}'",
+    ]
+
+
+def stale_epochs_sql(catalog: str, namespace: str, input_snapshot: str) -> str:
+    progress = f"{catalog}.{namespace}.progress"
+    return (
+        "SELECT DISTINCT num_buckets FROM "
+        f"{progress} WHERE input_snapshot = '{_sq(input_snapshot)}'"
+    )
+
+
+def increment_stats(
+    written_chunks: DataFrame,
+    run_id: str,
+    input_snapshot: str,
+    num_buckets: int,
+    wall_ms: int,
+) -> DataFrame:
+    """Progress rows derived from the WRITTEN chunks of this run — one
+    aggregation of the committed increment, no re-evaluation of the
+    span lineage (round-2 verdict: the stats pass re-ran the whole
+    ``work`` plan and hard-coded chunks=0, wall_ms=0).
+
+    Metrics semantics (documented divergence from the parquet branch's
+    per-bucket writer timings): ``docs`` = documents that produced
+    chunks (a no-span document yields none), ``bytes`` = output text
+    bytes, ``wall_ms`` = the increment's wall clock stamped on every
+    bucket row (a single snapshot commit has no per-bucket timing).
+    """
+    from pyspark.sql import functions as F
+
+    return (
+        written_chunks.groupBy("partition_id")
+        .agg(
+            F.countDistinct("doc_id").alias("docs"),
+            F.count("*").alias("chunks"),
+            F.sum("chunk_size").alias("bytes"),
+        )
+        .selectExpr(
+            f"'{_sq(run_id)}' as run_id",
+            "partition_id",
+            "'completed' as status",
+            "cast(docs as bigint) as docs",
+            "cast(chunks as bigint) as chunks",
+            "cast(bytes as bigint) as bytes",
+            f"cast({int(wall_ms)} as bigint) as wall_ms",
+            f"'{_sq(input_snapshot)}' as input_snapshot",
+            f"cast({int(num_buckets)} as int) as num_buckets",
+            "current_timestamp() as ts",
+        )
+    )
+
+
 def ensure_tables(
     spark: SparkSession, catalog: str, namespace: str, num_buckets: int = 64
 ) -> None:
@@ -182,13 +259,31 @@ def run_checkpointed_iceberg(
     ``DELETE`` on the bucket-pruned partition set), so re-appending the
     reprocessed buckets can never duplicate rows.
     """
+    import time as _time
+
     from pyspark.sql import functions as F
 
     from .pipeline import chunk_documents
 
     _require(spark)
     ensure_tables(spark, catalog, namespace, num_buckets)
+
+    # epoch guard: a prior run of the same snapshot under a different
+    # bucket count leaves progress/chunks this run must not trust
+    epochs = [
+        int(r[0])
+        for r in spark.sql(
+            stale_epochs_sql(catalog, namespace, input_snapshot)
+        ).collect()
+    ]
+    if any(e != num_buckets for e in epochs):
+        for sql in stale_epoch_cleanup_sql(
+            catalog, namespace, input_snapshot, num_buckets
+        ):
+            spark.sql(sql)
+
     done = completed_buckets(spark, catalog, namespace, input_snapshot, num_buckets)
+    t_start = _time.monotonic()
 
     # recovery: drop orphaned chunks (appended, never recorded) of this
     # lineage — those buckets are about to be reprocessed
@@ -223,31 +318,16 @@ def run_checkpointed_iceberg(
     )
     append_chunks(chunks, catalog, namespace)
 
-    stats = (
-        work.withColumn("partition_id", F.col("bucket"))
-        .groupBy("partition_id")
-        .agg(
-            F.count("*").alias("docs"),
-            F.sum(
-                F.aggregate(
-                    "spans",
-                    F.lit(0).cast("long"),
-                    lambda acc, s: acc + F.length(F.coalesce(s["text"], F.lit(""))),
-                )
-            ).alias("bytes"),
-        )
-        .selectExpr(
-            f"'{_sq(run_id)}' as run_id",
-            "partition_id",
-            "'completed' as status",
-            "docs",
-            "cast(0 as bigint) as chunks",
-            "bytes",
-            "cast(0 as bigint) as wall_ms",
-            f"'{_sq(input_snapshot)}' as input_snapshot",
-            f"cast({int(num_buckets)} as int) as num_buckets",
-            "current_timestamp() as ts",
-        )
+    # stats from the committed increment: one aggregation of the written
+    # chunks (partition-pruned by run_id/snapshot), not a re-run of the
+    # span lineage
+    written = spark.table(chunks_tbl).filter(
+        (F.col("run_id") == run_id)
+        & (F.col("input_snapshot") == input_snapshot)
+    )
+    wall_ms = int((_time.monotonic() - t_start) * 1000)
+    stats = increment_stats(
+        written, run_id, input_snapshot, num_buckets, wall_ms
     )
     merge_progress(spark, stats, catalog, namespace)
     return {"run_id": run_id, "buckets_done_before": len(done)}

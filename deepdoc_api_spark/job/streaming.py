@@ -62,12 +62,17 @@ def run_streaming_dedup(
 ) -> None:
     """Stateful cross-increment exact dedup: first-seen content wins.
 
-    The streaming counterpart of ``ops.dedup.exact_dedup``: the content
-    fingerprint (md5 of the normalized concatenated span texts) keys a
-    ``dropDuplicates`` whose seen-set lives in the streaming state
-    store — a document whose content already appeared in ANY earlier
-    increment is suppressed, surviving restarts via the checkpoint.
-    ``Trigger.AvailableNow`` keeps it batch-shaped operationally.
+    The streaming counterpart of ``ops.dedup.exact_dedup``, with the
+    SAME normalization applied to the document's full text: the raw
+    span texts are concatenated first, then ``md5(lower(trim(.)))`` —
+    so identical content split at different span boundaries yields the
+    same fingerprint, exactly as the batch op fingerprints the whole
+    ``text`` column (round-2 ADVICE: the earlier per-span-normalized,
+    separator-joined digest disagreed with batch on such inputs). The
+    seen-set lives in the streaming state store — a document whose
+    content already appeared in ANY earlier increment is suppressed,
+    surviving restarts via the checkpoint. ``Trigger.AvailableNow``
+    keeps it batch-shaped operationally.
 
     State note: without a watermark the seen-fingerprint state grows
     with the distinct corpus — that IS the semantics of global exact
@@ -80,10 +85,10 @@ def run_streaming_dedup(
     fingerprinted = reader.selectExpr(
         "doc_id",
         "spans",
-        # per-span lower+trim normalization, matching the batch
-        # exact_dedup's md5(lower(trim(text))) semantics on span texts
-        "md5(concat_ws('\\u0001',"
-        " transform(spans, s -> lower(trim(coalesce(s.text, ''))))))"
+        # concat raw span texts FIRST, normalize the whole document —
+        # the batch exact_dedup's md5(lower(trim(text))) verbatim
+        "md5(lower(trim(concat_ws('',"
+        " transform(spans, s -> coalesce(s.text, ''))))))"
         " as fp",
     )
     deduped = fingerprinted.dropDuplicates(["fp"])

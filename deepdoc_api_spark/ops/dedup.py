@@ -433,11 +433,15 @@ def simhash_near_dup_pairs(
 
     Standard 64-bit simhash blocking: 4 bands of 16 bits — any pair
     within Hamming ≤ 3 agrees exactly on ≥ 1 band (pigeonhole: 3 flipped
-    bits can dirty at most 3 of 4 bands), so recall is 100% by
-    construction, unlike the round-1 8-bit-band variant. Band keys are
-    65,536-ary; frequent-band suppression (``MAX_BUCKET_DOCS``, same
-    guard as the Jaccard path) bounds the candidate self-join even on
-    degenerate corpora.
+    bits can dirty at most 3 of 4 bands), unlike the round-1 8-bit-band
+    variant whose blocking itself lost pairs. Band keys are 65,536-ary;
+    frequent-band suppression (``MAX_BUCKET_DOCS``, same guard as the
+    Jaccard path) bounds the candidate self-join even on degenerate
+    corpora. Recall caveat: BLOCKING recall is 100% by the pigeonhole
+    argument, but the suppression drops true pairs whose only shared
+    bands sit in over-``MAX_BUCKET_DOCS`` buckets — on skewed corpora
+    end-to-end recall is therefore below 100%; that is the deliberate
+    skew/cost trade, identical to the Jaccard path's guard.
     """
     sh = simhash_words(spark, sf_dir)
     structs = ", ".join(
@@ -575,6 +579,20 @@ def ngram_doc_frequency_sql(min_df: Optional[int] = None, top_k: int = 100) -> s
 # ---------------------------------------------------------------------------
 
 
+def _checkpoint(df: DataFrame, eager: bool) -> DataFrame:
+    """Lineage truncation, pluggable by session config: reliable
+    ``checkpoint()`` when the context has a checkpoint dir (the cluster
+    deployment — survives executor loss), else ``localCheckpoint()``
+    (single-node/test default). Round-2 verdict item: the mechanism was
+    hard-wired to localCheckpoint."""
+    sc = df.sparkSession.sparkContext
+    try:
+        has_dir = sc.getCheckpointDir() is not None
+    except Exception:
+        has_dir = False
+    return df.checkpoint(eager=eager) if has_dir else df.localCheckpoint(eager=eager)
+
+
 def _label_components(pairs: DataFrame, max_iterations: int = 1000) -> DataFrame:
     """Connected components of an undirected (doc_a, doc_b) pair list by
     iterative min-label propagation.
@@ -582,23 +600,26 @@ def _label_components(pairs: DataFrame, max_iterations: int = 1000) -> DataFrame
     Each round joins the current labels across the symmetrized edge
     list and takes the min — a label-propagation union-find whose round
     count is the graph diameter (near-dup components are tiny cliques
-    in practice, so 2-3 rounds). Each round is one shuffle on doc_id;
-    the loop exits when a round changes no label (a cheap aggregate,
-    not a collect of the data). The loop MUST reach the fixpoint — a
-    truncated run would silently disagree with the exact-closure oracle
-    — so exceeding ``max_iterations`` (a diameter far beyond any real
-    dedup graph) raises instead of returning wrong labels.
+    in practice, so 2-3 rounds). Each round runs exactly ONE Spark job:
+    the checkpoint is LAZY and the convergence count is the action that
+    materializes it, so the same pass truncates lineage and measures
+    progress (round 2 ran a separate eager-checkpoint job per round).
+    The loop MUST reach the fixpoint — a truncated run would silently
+    disagree with the exact-closure oracle — so exceeding
+    ``max_iterations`` (a diameter far beyond any real dedup graph)
+    raises instead of returning wrong labels.
     """
-    pairs = pairs.select("doc_a", "doc_b").localCheckpoint(eager=True)
+    pairs = _checkpoint(pairs.select("doc_a", "doc_b"), eager=True)
     edges = pairs.unionByName(
         pairs.selectExpr("doc_b as doc_a", "doc_a as doc_b")
     )
-    labels = (
+    labels = _checkpoint(
         pairs.selectExpr("doc_a as doc_id")
         .unionByName(pairs.selectExpr("doc_b as doc_id"))
         .distinct()
-        .selectExpr("doc_id", "doc_id as component")
-    ).localCheckpoint(eager=True)
+        .selectExpr("doc_id", "doc_id as component"),
+        eager=True,
+    )
 
     for _ in range(max_iterations):
         neighbor_min = (
@@ -607,15 +628,15 @@ def _label_components(pairs: DataFrame, max_iterations: int = 1000) -> DataFrame
             .groupBy("doc_id")
             .agg(F.min("component").alias("neighbor_component"))
         )
-        improved = (
-            labels.join(neighbor_min, "doc_id", "left")
-            .selectExpr(
+        improved = _checkpoint(
+            labels.join(neighbor_min, "doc_id", "left").selectExpr(
                 "doc_id",
                 "component",
                 "least(component, coalesce(neighbor_component, component))"
                 " as new_component",
-            )
-        ).localCheckpoint(eager=True)  # materialize: bounded lineage per round
+            ),
+            eager=False,  # materialized BY the count below: one job/round
+        )
         n_changed = improved.filter("new_component != component").count()
         labels = improved.selectExpr("doc_id", "new_component as component")
         if n_changed == 0:

@@ -64,3 +64,55 @@ def test_run_checkpointed_iceberg_end_to_end(spark, sf_dir, tmp_path):
         input_snapshot="t@v1",
     )
     assert s2["buckets_done_before"] >= 1
+
+
+def test_stale_epoch_cleanup_sql_rebuilds_other_epoch():
+    """ADVICE (round 2): progress rows of the same snapshot under a
+    DIFFERENT num_buckets must be invalidated, and the snapshot's chunks
+    rebuilt, before the resume anti-join trusts anything."""
+    from deepdoc_api_spark.job.iceberg import (
+        stale_epoch_cleanup_sql,
+        stale_epochs_sql,
+    )
+
+    stmts = stale_epoch_cleanup_sql("cat", "ns", "snap-1", 64)
+    assert len(stmts) == 2
+    assert "DELETE FROM cat.ns.progress" in stmts[0]
+    assert "num_buckets != 64" in stmts[0]
+    assert "input_snapshot = 'snap-1'" in stmts[0]
+    # the chunks table cannot distinguish epochs -> full-snapshot rebuild
+    assert "DELETE FROM cat.ns.chunks" in stmts[1]
+    assert "input_snapshot = 'snap-1'" in stmts[1]
+    assert "num_buckets" not in stmts[1]
+    probe = stale_epochs_sql("cat", "ns", "snap-1")
+    assert "DISTINCT num_buckets" in probe and "snap-1" in probe
+    # quoting: a hostile snapshot id cannot escape the literal
+    assert "''" in stale_epoch_cleanup_sql("c", "n", "x'y", 8)[0]
+
+
+def test_increment_stats_reports_real_metrics(spark):
+    """Round-2 verdict: Iceberg progress rows hard-coded chunks=0,
+    wall_ms=0. The stats now derive from the written chunks and must
+    carry real per-bucket counts and the increment wall time."""
+    from deepdoc_api_spark.job.iceberg import increment_stats
+
+    written = spark.createDataFrame(
+        [
+            ("d1", 0, 10),
+            ("d1", 0, 20),
+            ("d2", 0, 5),
+            ("d3", 1, 7),
+        ],
+        "doc_id string, partition_id int, chunk_size int",
+    )
+    rows = {
+        r.partition_id: r
+        for r in increment_stats(written, "run-1", "snap-1", 64, 1234).collect()
+    }
+    assert rows[0].docs == 2 and rows[0].chunks == 3 and rows[0].bytes == 35
+    assert rows[1].docs == 1 and rows[1].chunks == 1 and rows[1].bytes == 7
+    for r in rows.values():
+        assert r.status == "completed"
+        assert r.wall_ms == 1234
+        assert r.num_buckets == 64
+        assert r.run_id == "run-1" and r.input_snapshot == "snap-1"

@@ -232,3 +232,65 @@ def test_flat_oracle_generation_stays_jvm_side(spark, sf_dir):
         assert "lang" not in scan and "n_chars" not in scan, (
             f"{fn.__name__}: scan not pruned"
         )
+
+
+def test_label_components_one_job_per_round(spark):
+    """Round-2 verdict item 8: the fixpoint loop must run ONE Spark job
+    per round (lazy checkpoint materialized by the convergence count),
+    plus the two one-time setup checkpoints."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from deepdoc_api_spark.ops.dedup import _label_components
+
+    # triangle {1,2,3} + pair {4,5}: converges after round 2 (round 1
+    # changes labels, round 2 observes the fixpoint)
+    pairs = spark.createDataFrame(
+        [("d1", "d2"), ("d2", "d3"), ("d1", "d3"), ("d4", "d5")],
+        "doc_a string, doc_b string",
+    )
+    tracker = spark.sparkContext.statusTracker()
+    # AQE splits one action into several jobs; disable it so job count
+    # == action count for the measurement
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        before = tracker.getJobIdsForGroup() or []
+        labels = {
+            r.doc_id: r.component for r in _label_components(pairs).collect()
+        }
+        after = tracker.getJobIdsForGroup() or []
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    # 2 setup jobs (pairs + labels eager checkpoints) + 1 job per round
+    # (2 rounds) + 1 final collect = 5; an eager per-round checkpoint
+    # would add one more job per round (the round-2 shape = 7)
+    n_jobs = len(after) - len(before)
+    assert n_jobs <= 5, f"{n_jobs} jobs for a 2-round convergence"
+    assert labels == {"d1": "d1", "d2": "d1", "d3": "d1", "d4": "d4", "d5": "d4"}
+
+
+def test_checkpoint_dispatch_is_pluggable(spark, monkeypatch):
+    """With a checkpoint dir on the context, lineage truncation must go
+    through reliable checkpointing (executor-loss-safe on a cluster);
+    without one, localCheckpoint."""
+    from deepdoc_api_spark.ops.dedup import _checkpoint
+
+    df = spark.range(4).selectExpr("id as doc_a", "id + 1 as doc_b")
+    calls = []
+    monkeypatch.setattr(
+        type(df), "checkpoint", lambda self, eager: calls.append("reliable") or self
+    )
+    monkeypatch.setattr(
+        type(df),
+        "localCheckpoint",
+        lambda self, eager: calls.append("local") or self,
+    )
+
+    assert spark.sparkContext.getCheckpointDir() is None
+    _checkpoint(df, eager=True)
+    assert calls == ["local"]
+
+    monkeypatch.setattr(
+        type(spark.sparkContext), "getCheckpointDir", lambda self: "/ckpt/dir"
+    )
+    _checkpoint(df, eager=False)
+    assert calls == ["local", "reliable"]
