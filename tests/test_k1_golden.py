@@ -27,11 +27,11 @@ from deepdoc_api_spark.kernels.chunkers import hybrid_chunks
 from deepdoc_api_spark.kernels.tokenizer import count_tokens
 
 
-def rec(kind, content, page=1):
+def rec(kind, content, page=1, media_ref=""):
     return {
         "kind": kind,
         "content": content,
-        "media_ref": "",
+        "media_ref": media_ref,
         "page": page,
         "offset": page * 1000,
     }
@@ -94,3 +94,66 @@ def test_g4_capacity_floor_under_heading_pressure():
         head, _, body = ch["text"].partition("\n")
         assert head == heading
         assert len(body.split(" ")) == 32
+
+
+def test_g5_table_elements_merge_only_with_tables():
+    """G5 (round-3 expansion, table-caption analogue): a table element
+    is contextualized exactly like text — heading context prepended,
+    the spec's stand-in for docling's caption+heading serialization of
+    TableItems — but the peer merge is kind-homogeneous: text never
+    absorbs a table; adjacent same-heading tables DO merge within the
+    budget; kind survives onto the chunk."""
+    chunks = hybrid_chunks(
+        [
+            rec("title", "Head"),
+            rec("text", "some text body here"),
+            rec("table", "<table>r1</table>"),
+            rec("table", "<table>r2</table>"),
+        ],
+        budget=512,
+    )
+    assert [(ch["kind"], ch["text"]) for ch in chunks] == [
+        ("text", "Head\nsome text body here"),
+        ("table", "Head\n<table>r1</table>\n<table>r2</table>"),
+    ]
+    # over-budget adjacent tables do NOT merge
+    big = " ".join(f"t{i}" for i in range(30))  # 30 tokens each
+    chunks = hybrid_chunks(
+        [rec("title", "Head"), rec("table", big), rec("table", big)], budget=40
+    )
+    assert [ch["kind"] for ch in chunks] == ["table", "table"]
+
+
+def test_g6_picture_items_pass_through_and_break_merges():
+    """G6 (round-3 expansion, picture-item handling): a media element
+    is its own chunk — empty text, zero token cost, media_ref and the
+    heading snapshot preserved — and it BREAKS the peer merge of the
+    texts around it (the next text's predecessor is the media chunk,
+    so same-heading texts separated by a picture stay separate)."""
+    chunks = hybrid_chunks(
+        [
+            rec("title", "Head"),
+            rec("text", "alpha beta"),
+            rec("media", "", media_ref="m://1"),
+            rec("text", "gamma delta"),
+        ],
+        budget=512,
+    )
+    assert [(ch["kind"], ch["text"], ch["media_ref"]) for ch in chunks] == [
+        ("text", "Head\nalpha beta", ""),
+        ("media", "", "m://1"),
+        ("text", "Head\ngamma delta", ""),
+    ]
+    assert chunks[1]["headings"] == ["Head"]
+
+    # K2: same pass-through contract (one element per block)
+    from deepdoc_api_spark.kernels.chunkers import hierarchical_chunks
+
+    k2 = hierarchical_chunks(
+        [rec("title", "Head"), rec("media", "", media_ref="m://2"),
+         rec("table", "<t>x</t>")]
+    )
+    assert [(c["kind"], c["text"], c["media_ref"]) for c in k2] == [
+        ("media", "", "m://2"),
+        ("table", "Head\n<t>x</t>", ""),
+    ]
