@@ -41,6 +41,22 @@ DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 REPLICATE = int(os.environ.get("BENCH_REPLICATE", "4"))
 
 
+def _calibrate_host() -> float:
+    """Engine-independent single-core CPU reference (md5 over fixed
+    bytes): quantifies host drift so cross-round comparisons can be
+    normalized. Measured same-code flagship spread on this box was
+    5.1-6.8 s across one day with idle load — the host, not the code,
+    moved; this number moves with it."""
+    import hashlib
+
+    buf = b"\xab" * 65536
+    t0 = time.monotonic()
+    h = buf
+    for _ in range(3000):
+        h = hashlib.md5(h).digest() + buf
+    return time.monotonic() - t0
+
+
 def _noop_write(df) -> None:
     """Materialize a JVM-expression plan via the noop sink — a bare
     count() would let Catalyst prune away the very expressions under
@@ -94,6 +110,13 @@ def run_bench(sf_dir: str, cpus: int, replicate: int) -> dict:
         flagship_sec = time.monotonic() - t0
         timings["pipeline_hybrid"] = round(flagship_sec, 3)
 
+        # steady-state companion to the cold pass above (same plan,
+        # warmed JIT/codegen) — the spread between the two is the
+        # cold-start + host-drift envelope
+        t0 = time.monotonic()
+        chunk_documents(spans, "hybrid").count()
+        timings["pipeline_hybrid_warm"] = round(time.monotonic() - t0, 3)
+
         for name, ct in (("pipeline_mineru", "mineru"), ("pipeline_toc", "toc")):
             t0 = time.monotonic()
             chunk_documents(spans, ct).count()
@@ -130,6 +153,9 @@ def run_bench(sf_dir: str, cpus: int, replicate: int) -> dict:
             "docs_per_sec": round(n_docs / max(flagship_sec, 1e-9), 2),
             "cpus": cpus,
             "replicate": replicate,
+            # host-drift reference: single-core md5 loop, engine-
+            # independent; normalize cross-round comparisons by it
+            "calib_sec": round(_calibrate_host(), 3),
         }
     finally:
         shutil.rmtree(corpus_dir, ignore_errors=True)
