@@ -131,6 +131,8 @@ def run_bench(sf_dir: str, cpus: int, replicate: int) -> dict:
             ("dedup_simhash64_pairs", dedup.simhash_near_dup_pairs),
             ("embedding_near_dup", similarity.embedding_near_dup_pairs),
             ("ann_topk_cosine", similarity.brute_force_topk),
+            ("ann_topk_ivf", similarity.ivf_topk),
+            ("dedup_containment", dedup.containment_near_dup_pairs),
             ("fallback_window", fallback_text.fallback_window_chunks),
             ("text_quality_lang", None),
         ):

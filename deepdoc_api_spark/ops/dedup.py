@@ -286,6 +286,81 @@ def jaccard_near_dup_pairs_sql(threshold_milli: int = 500) -> str:
     )
 
 
+def containment_near_dup_pairs(
+    spark: SparkSession, sf_dir: str, threshold_milli: int = 800
+) -> DataFrame:
+    """Shingle-containment pairs: ``|A∩B| / min(|A|,|B|)`` ≥ threshold.
+
+    The asymmetric complement of :func:`jaccard_near_dup_pairs`: a
+    document fully quoted inside a 10× larger one has Jaccard ≈ 0.1 but
+    containment 1.0 — the subset/quote case a training-data dedup pass
+    must catch (cf. "Deduplicating Training Data Makes Language Models
+    Better", Lee et al. 2022, which dedups on substring containment).
+    Candidates come from the same MinHash-LSH blocking + frequent-band
+    suppression as the Jaccard path; exact verify on the deduped
+    shingle arrays. Recall caveat (documented, not hidden): MinHash
+    approximates JACCARD, so a tiny doc contained in a huge one may not
+    block into a shared band — containment-complete blocking would need
+    size-stratified signatures; this op reports what the shared
+    blocking finds.
+    """
+    grams = (
+        _docs_words(spark, sf_dir)
+        .filter("size(w) >= 3")
+        .selectExpr("doc_id", f"array_distinct({_SHINGLES_EXPR}) as gs")
+    )
+    all_bands = _all_bands(spark, sf_dir)
+    ok_buckets = (
+        all_bands.groupBy("band", "band_sig")
+        .agg(F.count("*").alias("n_docs"))
+        .filter(F.col("n_docs") <= MAX_BUCKET_DOCS)
+        .select("band", "band_sig")
+    )
+    pruned = all_bands.join(F.broadcast(ok_buckets), ["band", "band_sig"])
+    cands = (
+        pruned.alias("a")
+        .join(pruned.alias("b"), ["band", "band_sig"])
+        .filter("a.doc_id < b.doc_id")
+        .selectExpr("a.doc_id as doc_a", "b.doc_id as doc_b")
+        .distinct()
+    )
+    joined = (
+        cands.join(grams.selectExpr("doc_id as doc_a", "gs as ga"), "doc_a")
+        .join(grams.selectExpr("doc_id as doc_b", "gs as gb"), "doc_b")
+        .selectExpr(
+            "doc_a",
+            "doc_b",
+            "cast(floor(1000.0 * size(array_intersect(ga, gb)) /"
+            " greatest(least(size(ga), size(gb)), 1)) as bigint)"
+            " as containment_milli",
+        )
+    )
+    return joined.filter(
+        F.col("containment_milli") >= threshold_milli
+    ).select("doc_a", "doc_b", "containment_milli")
+
+
+def containment_near_dup_pairs_sql(threshold_milli: int = 800) -> str:
+    cont = (
+        "CAST(floor(1000.0 * len(list_intersect(ga.gs, gb.gs)) /"
+        " greatest(least(len(ga.gs), len(gb.gs)), 1)) AS BIGINT)"
+    )
+    return (
+        f"WITH {_SIG_SQL_BODY},\n"
+        "gr AS (SELECT doc_id, list_distinct(g) AS gs FROM s WHERE len(g) > 0),\n"
+        "bands AS (" + _band_sql_selects() + "),\n"
+        "ok AS (SELECT band, band_sig FROM bands GROUP BY band, band_sig"
+        f" HAVING count(*) <= {MAX_BUCKET_DOCS}),\n"
+        "pruned AS (SELECT bands.* FROM bands JOIN ok USING (band, band_sig)),\n"
+        "cands AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b\n"
+        "          FROM pruned a JOIN pruned b ON a.band_sig = b.band_sig"
+        " AND a.band = b.band AND a.doc_id < b.doc_id)\n"
+        f"SELECT doc_a, doc_b, {cont} AS containment_milli\n"
+        "FROM cands JOIN gr ga ON ga.doc_id = doc_a JOIN gr gb ON gb.doc_id = doc_b\n"
+        f"WHERE {cont} >= {threshold_milli}"
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash (16-bit)
 # ---------------------------------------------------------------------------

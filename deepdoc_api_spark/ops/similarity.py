@@ -579,3 +579,184 @@ ranked AS (
 )
 SELECT qid, vec_id, rank::INTEGER AS rank, sim_micro FROM ranked WHERE rank <= {k}
 """
+
+
+# ---------------------------------------------------------------------------
+# IVF top-k: k-means-lite coarse quantizer + inverted-list probe
+# ---------------------------------------------------------------------------
+#
+# The second classic ANN scale path next to LSH: partition the corpus
+# into NLIST cells around centroids, search only the NPROBE cells
+# nearest the query. At 10^12 rows the inverted-list join prunes the
+# scan by ~nlist/nprobe while the cell assignment is one broadcast pass.
+#
+# Determinism discipline (everything must match DuckDB bit-for-bit):
+# * seeds = the nlist lowest vec_ids (no RNG);
+# * ONE Lloyd refinement whose per-dimension accumulation happens in
+#   INTEGER micro space (sum of floor(x*1e6) — order-independent and
+#   exact, unlike float sums across arbitrary partition orders);
+# * centroids stay UNNORMALIZED integer sums cast to double — cosine is
+#   scale-invariant, so dividing by the cell count would only add a
+#   rounding step;
+# * every argmax/top-k compares integer sim_micro with (sim DESC,
+#   id ASC) tie-breaks.
+
+IVF_NLIST = 16
+IVF_NPROBE = 4
+
+
+def ivf_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = DEFAULT_K,
+    n_queries: int = DEFAULT_N_QUERIES,
+    nlist: int = IVF_NLIST,
+    nprobe: int = IVF_NPROBE,
+) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+
+    def cos(a: str, b: str) -> str:
+        dot = _DOT.format(a=a, b=b)
+        na = _NORM.format(a=a)
+        nb = _NORM.format(a=b)
+        return f"cast(floor({dot} / ({na} * {nb}) * 1000000) as bigint)"
+
+    seeds = emb.filter(F.col("vec_id") < nlist).selectExpr(
+        "vec_id as cid", "embedding as c"
+    )
+    assign1 = (
+        emb.join(F.broadcast(seeds))
+        .selectExpr("vec_id", "embedding", "cid", f"{cos('embedding', 'c')} as sim_micro")
+        .withColumn(
+            "rn",
+            F.expr(
+                "row_number() over (partition by vec_id"
+                " order by sim_micro desc, cid asc)"
+            ),
+        )
+        .filter("rn = 1")
+        .select("vec_id", "embedding", "cid")
+    )
+    # Lloyd update in integer micro space: shuffle carries (cid, dim,
+    # bigint) scalars with map-side combine — the standard k-means
+    # aggregation shape at any corpus size
+    cent = (
+        assign1.selectExpr("cid", "posexplode(embedding) as (dim, x)")
+        .selectExpr(
+            "cid", "dim", "cast(floor(cast(x as double) * 1000000) as bigint) as xm"
+        )
+        .groupBy("cid", "dim")
+        .agg(F.sum("xm").alias("s"))
+        .groupBy("cid")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(dim, s))),"
+                " p -> cast(p.s as double))"
+            ).alias("c")
+        )
+    )
+    assign2 = (
+        emb.join(F.broadcast(cent))
+        .selectExpr("vec_id", "embedding", "cid", f"{cos('embedding', 'c')} as sim_micro")
+        .withColumn(
+            "rn",
+            F.expr(
+                "row_number() over (partition by vec_id"
+                " order by sim_micro desc, cid asc)"
+            ),
+        )
+        .filter("rn = 1")
+        .select("vec_id", "embedding", "cid")
+    )
+    probes = (
+        emb.filter(F.col("vec_id") < n_queries)
+        .selectExpr("vec_id as qid", "embedding as q")
+        .join(F.broadcast(cent))
+        .selectExpr("qid", "q", "cid", f"{cos('q', 'c')} as sim_micro")
+        .withColumn(
+            "rn",
+            F.expr(
+                "row_number() over (partition by qid"
+                " order by sim_micro desc, cid asc)"
+            ),
+        )
+        .filter(F.col("rn") <= nprobe)
+        .select("qid", "q", "cid")
+    )
+    scored = (
+        assign2.join(F.broadcast(probes), "cid")
+        .filter("vec_id != qid")
+        .selectExpr("qid", "vec_id", f"{cos('embedding', 'q')} as sim_micro")
+    )
+    return (
+        scored.withColumn(
+            "rank",
+            F.expr(
+                "row_number() over (partition by qid"
+                " order by sim_micro desc, vec_id asc)"
+            ),
+        )
+        .filter(F.col("rank") <= k)
+        .selectExpr("qid", "vec_id", "cast(rank as int) rank", "sim_micro")
+    )
+
+
+def ivf_topk_sql(
+    k: int = DEFAULT_K,
+    n_queries: int = DEFAULT_N_QUERIES,
+    nlist: int = IVF_NLIST,
+    nprobe: int = IVF_NPROBE,
+) -> str:
+    def cos(a: str, b: str) -> str:
+        return (
+            "CAST(floor("
+            f"list_sum(list_transform(range(1, len({a}) + 1),"
+            f" i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE))"
+            f" / (sqrt(list_sum(list_transform({a}, x -> x::DOUBLE * x::DOUBLE)))"
+            f" * sqrt(list_sum(list_transform({b}, x -> x::DOUBLE * x::DOUBLE))))"
+            " * 1000000) AS BIGINT)"
+        )
+
+    return f"""
+WITH e AS (SELECT vec_id, embedding FROM embeddings),
+seeds AS (SELECT vec_id AS cid, embedding AS c FROM e WHERE vec_id < {nlist}),
+s1 AS (SELECT e.vec_id, e.embedding, seeds.cid,
+              {cos('e.embedding', 'seeds.c')} AS sim_micro
+       FROM e, seeds),
+a1 AS (SELECT vec_id, embedding, cid FROM (
+         SELECT *, row_number() OVER (PARTITION BY vec_id
+                   ORDER BY sim_micro DESC, cid ASC) AS rn FROM s1)
+       WHERE rn = 1),
+comps AS (SELECT cid,
+                 unnest(range(1, len(embedding) + 1)) AS dim,
+                 unnest(list_transform(embedding,
+                        x -> CAST(floor(x::DOUBLE * 1000000) AS BIGINT))) AS xm
+          FROM a1),
+cent AS (SELECT cid, list(CAST(s AS DOUBLE) ORDER BY dim) AS c FROM (
+           SELECT cid, dim, sum(xm) AS s FROM comps GROUP BY cid, dim)
+         GROUP BY cid),
+s2 AS (SELECT e.vec_id, e.embedding, cent.cid,
+              {cos('e.embedding', 'cent.c')} AS sim_micro
+       FROM e, cent),
+a2 AS (SELECT vec_id, embedding, cid FROM (
+         SELECT *, row_number() OVER (PARTITION BY vec_id
+                   ORDER BY sim_micro DESC, cid ASC) AS rn FROM s2)
+       WHERE rn = 1),
+probes AS (SELECT qid, q, cid FROM (
+             SELECT q.vec_id AS qid, q.embedding AS q, cent.cid,
+                    {cos('q.embedding', 'cent.c')} AS sim_micro,
+                    row_number() OVER (PARTITION BY q.vec_id
+                      ORDER BY {cos('q.embedding', 'cent.c')} DESC, cent.cid ASC)
+                      AS rn
+             FROM e q, cent WHERE q.vec_id < {n_queries})
+           WHERE rn <= {nprobe}),
+scored AS (SELECT p.qid, a2.vec_id,
+                  {cos('a2.embedding', 'p.q')} AS sim_micro
+           FROM a2 JOIN probes p USING (cid) WHERE a2.vec_id != p.qid)
+SELECT qid, vec_id, rank::INTEGER AS rank, sim_micro FROM (
+  SELECT qid, vec_id, sim_micro,
+         row_number() OVER (PARTITION BY qid
+           ORDER BY sim_micro DESC, vec_id ASC) AS rank
+  FROM scored)
+WHERE rank <= {k}
+"""
