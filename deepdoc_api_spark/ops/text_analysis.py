@@ -9,6 +9,7 @@ column expressions (no Python in the plan). Integer-scaled ratios
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 _STOPWORDS = {
     "en": ["the", "and", "of", "to", "in"],
@@ -317,4 +318,123 @@ SELECT doc_id,
             WHEN {bucket} < {val_permille + test_permille} THEN 'test'
             ELSE 'train' END AS split
 FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style repetition filters (Rae et al. 2021, §A1.1 heuristics)
+# ---------------------------------------------------------------------------
+
+
+def gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document repetition/shape signals from the Gopher quality
+    rules: duplicate-line fraction, most-frequent-word-bigram fraction,
+    mean word length — the filters a web-scale training pipeline runs
+    BEFORE near-dup work (repetitive boilerplate pollutes MinHash
+    buckets). All ratios are milli/centi ints (exact in both engines).
+
+    Plan shape: the line stats are per-row expressions (no shuffle);
+    the top-bigram pass explodes to (doc_id, bigram) with map-side
+    combine, aggregates twice (bigram counts, then per-doc max/sum) —
+    both shuffles carry scalars keyed by doc, scale-safe.
+    """
+    docs = _docs(spark, sf_dir)
+    lines = docs.selectExpr(
+        "doc_id",
+        "filter(transform(split(text, '\\n'), l -> trim(l)), l -> l != '')"
+        " as lines",
+        "split(trim(text), '\\\\s+') as w",
+        "trim(text) as t",
+    ).selectExpr(
+        "doc_id",
+        "cast(size(lines) as bigint) as n_lines",
+        "cast(floor(1000.0 * (size(lines) - size(array_distinct(lines)))"
+        " / greatest(size(lines), 1)) as bigint) as dup_line_milli",
+        "cast(floor(100.0 * length(regexp_replace(t, '\\\\s+', ''))"
+        " / greatest(size(w), 1)) as bigint) as mean_word_len_centi",
+    )
+    bigrams = (
+        _docs_for_bigrams(spark, sf_dir)
+        .filter("size(w) >= 2")
+        .selectExpr(
+            "doc_id",
+            "explode(transform(sequence(1, size(w) - 1),"
+            " i -> concat_ws(' ', element_at(w, i), element_at(w, i + 1))))"
+            " as bg",
+        )
+        .groupBy("doc_id", "bg")
+        .agg(F.count("*").alias("n"))
+        .groupBy("doc_id")
+        .agg(F.max("n").alias("top"), F.sum("n").alias("total"))
+        .selectExpr(
+            "doc_id",
+            "cast(floor(1000.0 * top / total) as bigint) as top_bigram_milli",
+        )
+    )
+    return (
+        lines.join(bigrams, "doc_id", "left")
+        .selectExpr(
+            "doc_id",
+            "n_lines",
+            "dup_line_milli",
+            "mean_word_len_centi",
+            "coalesce(top_bigram_milli, cast(0 as bigint)) as top_bigram_milli",
+        )
+        .selectExpr(
+            "*",
+            "case when dup_line_milli > 300 then 'repetitive_lines'"
+            " when top_bigram_milli > 200 then 'repetitive_bigrams'"
+            " when mean_word_len_centi < 300 or mean_word_len_centi > 1000"
+            " then 'odd_word_length' else 'ok' end as gopher_flag",
+        )
+    )
+
+
+def _docs_for_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = spark.sparkContext.defaultParallelism * 2
+    return (
+        spark.read.parquet(f"{sf_dir.rstrip('/')}/documents.parquet")
+        .repartition(n, "doc_id")
+        .selectExpr("doc_id", "split(trim(text), '\\\\s+') as w")
+    )
+
+
+GOPHER_REPETITION_SQL = """
+WITH base AS (
+  SELECT doc_id,
+         list_filter(list_transform(regexp_split_to_array(text, '\n'),
+                     l -> trim(l)), l -> l != '') AS lines,
+         regexp_split_to_array(trim(text), '\\s+') AS w,
+         trim(text) AS t
+  FROM documents
+),
+line_stats AS (
+  SELECT doc_id,
+         len(lines)::BIGINT AS n_lines,
+         CAST(floor(1000.0 * (len(lines) - len(list_distinct(lines)))
+              / greatest(len(lines), 1)) AS BIGINT) AS dup_line_milli,
+         CAST(floor(100.0 * length(regexp_replace(t, '\\s+', '', 'g'))
+              / greatest(len(w), 1)) AS BIGINT) AS mean_word_len_centi
+  FROM base
+),
+bg AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(w)),
+                i -> w[i] || ' ' || w[i + 1])) AS bg
+  FROM base WHERE len(w) >= 2
+),
+bg_counts AS (SELECT doc_id, bg, count(*) AS n FROM bg GROUP BY doc_id, bg),
+bg_top AS (
+  SELECT doc_id,
+         CAST(floor(1000.0 * max(n) / sum(n)) AS BIGINT) AS top_bigram_milli
+  FROM bg_counts GROUP BY doc_id
+)
+SELECT l.doc_id, l.n_lines, l.dup_line_milli, l.mean_word_len_centi,
+       coalesce(b.top_bigram_milli, 0)::BIGINT AS top_bigram_milli,
+       CASE WHEN l.dup_line_milli > 300 THEN 'repetitive_lines'
+            WHEN coalesce(b.top_bigram_milli, 0) > 200 THEN 'repetitive_bigrams'
+            WHEN l.mean_word_len_centi < 300 OR l.mean_word_len_centi > 1000
+              THEN 'odd_word_length'
+            ELSE 'ok' END AS gopher_flag
+FROM line_stats l LEFT JOIN bg_top b USING (doc_id)
 """

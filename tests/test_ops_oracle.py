@@ -107,3 +107,55 @@ def test_mineru_flat_mixed_exercises_type_matrix(spark, sf_dir):
     # exists iff slot-5 text merged slots 6-7 (kind stays 'text')
     text_multi = [r for r in rows if r.kind == "text" and "\n" in r.text]
     assert text_multi, "no merged text runs — the tt/tl matrix never fired"
+
+
+def test_gopher_flag_branches_fire_on_synthetic_docs(spark, tmp_path):
+    """The driver corpus is all-'ok'; pin every flag branch on docs
+    constructed to trip each Gopher threshold."""
+    import duckdb
+
+    docs = spark.createDataFrame(
+        [
+            ("d_rep_lines", "same line\n" * 10 + "unique tail"),
+            ("d_rep_bigrams", "very common " * 40 + "rare words end"),
+            # distinct long words: bigrams all unique, so only the
+            # word-length rule can fire
+            ("d_long_words", " ".join(f"supercalifragilistic{i}" for i in range(30))),
+            ("d_ok", "\n".join(f"line {i} with several normal words" for i in range(20))),
+        ],
+        "doc_id string, text string",
+    )
+    p = str(tmp_path / "documents.parquet")
+    docs.coalesce(1).write.parquet(p)
+    import os, shutil
+    # the ops expect <sf_dir>/documents.parquet
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf)
+    shutil.move(p, os.path.join(sf, "documents.parquet"))
+
+    from deepdoc_api_spark.ops.text_analysis import (
+        GOPHER_REPETITION_SQL,
+        gopher_repetition,
+    )
+
+    rows = {r.doc_id: r for r in gopher_repetition(spark, sf).collect()}
+    assert rows["d_rep_lines"].gopher_flag == "repetitive_lines"
+    assert rows["d_rep_bigrams"].gopher_flag == "repetitive_bigrams"
+    assert rows["d_long_words"].gopher_flag == "odd_word_length"
+    assert rows["d_ok"].gopher_flag == "ok"
+
+    # and the oracle agrees on the synthetic corpus too
+    con = duckdb.connect()
+    con.execute(
+        "create view documents as select * from "
+        f"'{os.path.join(sf, 'documents.parquet')}/*.parquet'"
+    )
+    odf = con.execute(GOPHER_REPETITION_SQL).fetchdf()
+    orows = {row["doc_id"]: row for _, row in odf.iterrows()}
+    for d, r in rows.items():
+        o = orows[d]
+        assert (r.gopher_flag, r.dup_line_milli, r.top_bigram_milli,
+                r.mean_word_len_centi) == (
+            o["gopher_flag"], o["dup_line_milli"], o["top_bigram_milli"],
+            o["mean_word_len_centi"],
+        ), d
