@@ -100,3 +100,59 @@ def run_streaming_dedup(
         .start()
     )
     q.awaitTermination()
+
+
+def run_streaming_windowed_stats(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    window_duration: str = "10 minutes",
+    allowed_lateness: str = "5 minutes",
+) -> None:
+    """Event-time windowed ingest stats with a watermark (SURVEY §2.10:
+    "watermarks + windowed aggs for late data").
+
+    Input: a span table extended with an ``ingest_ts`` timestamp column.
+    Output: one row per event-time window — docs and span volume — in
+    APPEND mode, so a window commits exactly once, when the watermark
+    (max event time − ``allowed_lateness``) passes its end; rows later
+    than the watermark are dropped and the aggregation state stays
+    bounded by ``lateness / window`` windows regardless of stream
+    length. Standard append-mode semantics apply: the final window
+    flushes only after a later batch advances the watermark past it —
+    a drain-and-stop job emits it on the next increment (pinned by
+    tests/test_streaming.py).
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from ..schema import SPANS_SCHEMA
+
+    schema = T.StructType(
+        SPANS_SCHEMA.fields + [T.StructField("ingest_ts", T.TimestampType())]
+    )
+    reader = spark.readStream.schema(schema).parquet(input_dir)
+    stats = (
+        reader.withWatermark("ingest_ts", allowed_lateness)
+        .groupBy(F.window("ingest_ts", window_duration).alias("w"))
+        .agg(
+            F.count("*").alias("docs"),
+            F.sum(F.size("spans")).alias("spans"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "docs",
+            "spans",
+        )
+    )
+    q = (
+        stats.writeStream.format("parquet")
+        .outputMode("append")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
