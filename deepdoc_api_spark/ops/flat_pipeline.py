@@ -1041,3 +1041,124 @@ GROUP BY 1
 
 
 MIXED_KIND_HISTOGRAM_SQL = _mixed_kind_histogram_sql()
+
+
+# ---------------------------------------------------------------------------
+# multimodal geometry/schedule — real kernels vs md5-arithmetic oracle
+# ---------------------------------------------------------------------------
+#
+# The media decode itself is an environment-blocked stub, but everything
+# AROUND it — catalog typing, the deterministic fake-decode derivation,
+# aspect-fit resize geometry, the frame-sampling schedule — is pure
+# md5 + integer/double arithmetic that DuckDB can re-derive. These two
+# queries run the REAL ops (media_catalog → resize_media /
+# sample_frames, Arrow-batched mapInPandas) over a media-only flat span
+# class (ref = 'm://{doc}/{i}.{png|mp4|wav}' by i % 3) and verify
+# value-exactly. Only the raw pixel/sample decode remains rows-only.
+
+MEDIA_RESIZE_FLAT_DDL = (
+    "doc_id string, media_ref string, media_kind string, width int, "
+    "height int, resized_w int, resized_h int, scale_milli bigint"
+)
+
+MEDIA_FRAMES_FLAT_DDL = (
+    "doc_id string, media_ref string, frame_idx int, ts_ms bigint"
+)
+
+_EXTS = ("png", "mp4", "wav")
+
+
+def _media_spans_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = spark.sparkContext.defaultParallelism * 2
+    docs = (
+        spark.read.parquet(f"{sf_dir.rstrip('/')}/documents.parquet")
+        .select("doc_id", "text")
+        .repartition(n, "doc_id")
+    )
+    ext = (
+        "element_at(array('png','mp4','wav'), cast(i % 3 as int) + 1)"
+    )
+    return docs.selectExpr(
+        "cast(doc_id as string) as doc_id", f"split(trim(text), '\\\\s+') as ws"
+    ).selectExpr(
+        "doc_id",
+        f"""
+        transform(sequence(0, cast(ceil(size(ws) / {GROUP_WORDS}.0) as int) - 1),
+          i -> named_struct(
+            'kind', 'media',
+            'text', '',
+            'media_ref', concat('m://', cast(doc_id as string), '/',
+                                cast(i as string), '.', {ext}),
+            'offset', cast(i as int)))
+        as spans
+        """,
+    )
+
+
+_MEDIA_REFS_SQL = f"""
+w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws FROM documents),
+idx AS (SELECT doc_id, unnest(range(0, CAST(ceil(len(ws) / {GROUP_WORDS}.0) AS INTEGER))) AS i FROM w),
+m AS (
+  SELECT doc_id,
+         'm://' || doc_id || '/' || i || '.' ||
+           (['png','mp4','wav'])[CAST(i % 3 AS INTEGER) + 1] AS media_ref,
+         CASE CAST(i % 3 AS INTEGER) WHEN 0 THEN 'image'
+              WHEN 1 THEN 'video' ELSE 'audio' END AS media_kind,
+         md5(repeat(md5('m://' || doc_id || '/' || i || '.' ||
+           (['png','mp4','wav'])[CAST(i % 3 AS INTEGER) + 1]), 4)) AS h
+  FROM idx
+)"""
+
+
+def media_resize_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .multimodal import media_catalog, resize_media
+
+    spans_df = _media_spans_spark(spark, sf_dir)
+    return resize_media(media_catalog(spans_df)).select(
+        "doc_id", "media_ref", "media_kind", "width", "height",
+        "resized_w", "resized_h", "scale_milli",
+    )
+
+
+MEDIA_RESIZE_FLAT_SQL = f"""
+WITH {_MEDIA_REFS_SQL},
+dims AS (
+  SELECT doc_id, media_ref, media_kind,
+         64 + ('0x' || substr(h, 1, 2))::INTEGER * 4 AS width,
+         64 + ('0x' || substr(h, 3, 2))::INTEGER * 4 AS height
+  FROM m
+),
+scaled AS (
+  SELECT *, least(256.0 / width, 256.0 / height, 1.0) AS scale FROM dims
+)
+SELECT doc_id::VARCHAR AS doc_id, media_ref, media_kind,
+       width::INTEGER AS width, height::INTEGER AS height,
+       CAST(floor(width * scale) AS INTEGER) AS resized_w,
+       CAST(floor(height * scale) AS INTEGER) AS resized_h,
+       CAST(floor(scale * 1000) AS BIGINT) AS scale_milli
+FROM scaled
+"""
+
+
+def media_frames_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .multimodal import media_catalog, sample_frames
+
+    spans_df = _media_spans_spark(spark, sf_dir)
+    return sample_frames(media_catalog(spans_df)).select(
+        "doc_id", "media_ref", "frame_idx", "ts_ms"
+    )
+
+
+MEDIA_FRAMES_FLAT_SQL = f"""
+WITH {_MEDIA_REFS_SQL},
+vids AS (
+  SELECT doc_id, media_ref,
+         1000 + ('0x' || substr(h, 1, 4))::INTEGER * 2 AS duration_ms
+  FROM m WHERE media_kind = 'video'
+)
+SELECT doc_id::VARCHAR AS doc_id, media_ref,
+       CAST(ts // 1000 AS INTEGER) AS frame_idx,
+       ts::BIGINT AS ts_ms
+FROM (SELECT doc_id, media_ref, unnest(range(0, duration_ms, 1000)) AS ts
+      FROM vids)
+"""

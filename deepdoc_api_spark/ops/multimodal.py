@@ -67,9 +67,11 @@ def media_catalog(spans_df: DataFrame) -> DataFrame:
         "doc_id",
         "media_ref",
         f"{kind_case} as media_kind",
-        # deterministic opaque payload: the ref's sha1 repeated — a
-        # stand-in blob with content-dependent bytes
-        "cast(repeat(sha1(media_ref), 4) as binary) as payload",
+        # deterministic opaque payload: the ref's md5 repeated — a
+        # stand-in blob with content-dependent bytes (md5, not sha1:
+        # DuckDB lacks sha1, and md5 keeps every stub-derived value
+        # re-derivable by the external oracle)
+        "cast(repeat(md5(media_ref), 4) as binary) as payload",
     ).withColumn("n_bytes", F.length("payload").cast("long"))
 
 
@@ -86,7 +88,7 @@ def decode_media(payload: bytes, media_kind: str, fake: bool = False):
             "media decode requires codec libraries (Pillow/ffmpeg); "
             "install them and replace this stub"
         )
-    h = hashlib.sha1(payload or b"").digest()
+    h = hashlib.md5(payload or b"").digest()
     width = 64 + h[0] * 4
     height = 64 + h[1] * 4
     feature = [
@@ -227,10 +229,10 @@ def sample_frames(
                     continue
                 if not fake_decode:
                     decode_media(b"", kind, fake=False)  # raises: stub
-                h = _hashlib.sha1(bytes(payload or b"")).digest()
+                h = _hashlib.md5(bytes(payload or b"")).digest()
                 duration_ms = 1000 + int.from_bytes(h[:2], "big") * 2
                 for idx, ts in enumerate(frame_timestamps_ms(duration_ms, every_ms)):
-                    fh = _hashlib.sha1(h + ts.to_bytes(8, "big")).digest()
+                    fh = _hashlib.md5(h + ts.to_bytes(8, "big")).digest()
                     feat = [
                         round((fh[i % len(fh)] - 128) / 128.0, 6)
                         for i in range(FEATURE_DIM)
