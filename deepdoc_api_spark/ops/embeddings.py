@@ -94,10 +94,14 @@ class DeterministicFakeEmbedder(EmbeddingClient):
                 raise TransientEmbeddingError("injected transient failure")
         out = []
         for t in texts:
-            h = hashlib.sha1(t.encode("utf-8")).digest()
+            # md5 + floor-micro (not sha1 + round): DuckDB has md5 but
+            # no sha1, and floor is identical in both engines while
+            # Python round() is banker's — this exact arithmetic is
+            # re-derived by the external oracle (embeddings_flat_checksums)
+            h = hashlib.md5(t.encode("utf-8")).digest()
             raw = [(h[i % len(h)] - 128) / 128.0 for i in range(self.dim)]
             norm = math.sqrt(sum(x * x for x in raw)) or 1.0
-            out.append([round(x / norm, 6) for x in raw])
+            out.append([math.floor(x / norm * 1000000.0) / 1000000.0 for x in raw])
         return out
 
 

@@ -1162,3 +1162,33 @@ SELECT doc_id::VARCHAR AS doc_id, media_ref,
 FROM (SELECT doc_id, media_ref, unnest(range(0, duration_ms, 1000)) AS ts
       FROM vids)
 """
+
+
+# ---------------------------------------------------------------------------
+# embedding attachment over the flat class — integer-micro checksums
+# ---------------------------------------------------------------------------
+#
+# attach_embeddings runs the real Arrow-batched attach stage (client
+# batching, retry policy wiring, tokenizer truncation — identity here,
+# flat texts are far under the 512-token limit) with the deterministic
+# md5 fake embedder; the oracle re-derives each vector from md5(text)
+# with the identical double arithmetic and compares integer-micro
+# checksums (float-array columns cannot ride the driver canonicalizer).
+
+EMBEDDINGS_FLAT_SQL = f"""
+SELECT doc_id, chunk_index, 16 AS dim,
+       list_sum(list_transform(raw,
+         x -> floor(x / (CASE WHEN nrm = 0 THEN 1.0 ELSE nrm END)
+                    * 1000000.0)))::BIGINT AS emb_micro_sum
+FROM (
+  SELECT doc_id, chunk_index, raw,
+         sqrt(list_sum(list_transform(raw, x -> x * x))) AS nrm
+  FROM (
+    SELECT doc_id, chunk_index,
+           list_transform(range(1, 17),
+             i -> (('0x' || substr(md5(text), 2 * i - 1, 2))::INTEGER - 128)
+                  / 128.0) AS raw
+    FROM ({HIERARCHICAL_FLAT_SQL}) chunks
+  )
+)
+"""
