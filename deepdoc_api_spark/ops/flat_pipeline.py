@@ -1192,3 +1192,39 @@ FROM (
   )
 )
 """
+
+
+def media_features_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real catalog → feature-extraction kernel over the flat media
+    class; features reduced to an integer-micro checksum (float arrays
+    cannot ride the driver canonicalizer)."""
+    from .multimodal import extract_media_features, media_catalog
+
+    spans_df = _media_spans_spark(spark, sf_dir)
+    feats = extract_media_features(media_catalog(spans_df), fake_decode=True)
+    return feats.selectExpr(
+        "doc_id",
+        "media_ref",
+        "media_kind",
+        "width",
+        "height",
+        "cast(n_bytes as bigint) as n_bytes",
+        "cast(size(feature) as int) as dim",
+        "aggregate(transform(feature,"
+        " x -> cast(round(cast(x as double) * 1000000) as bigint)),"
+        " cast(0 as bigint), (acc, v) -> acc + v) as feat_micro_sum",
+    )
+
+
+MEDIA_FEATURES_FLAT_SQL = f"""
+WITH {_MEDIA_REFS_SQL}
+SELECT doc_id::VARCHAR AS doc_id, media_ref, media_kind,
+       64 + ('0x' || substr(h, 1, 2))::INTEGER * 4 AS width,
+       64 + ('0x' || substr(h, 3, 2))::INTEGER * 4 AS height,
+       128::BIGINT AS n_bytes,
+       16 AS dim,
+       list_sum(list_transform(range(1, 17),
+         i -> floor((('0x' || substr(h, 2 * ((i - 1) % 16) + 1, 2))::INTEGER - 128)
+                    / 128.0 * 1000000.0)))::BIGINT AS feat_micro_sum
+FROM m
+"""

@@ -22,6 +22,7 @@ decode / feature-extract plumbing a training-data pipeline needs:
 from __future__ import annotations
 
 import hashlib
+import math
 from typing import Iterator
 
 import pandas as pd
@@ -91,8 +92,11 @@ def decode_media(payload: bytes, media_kind: str, fake: bool = False):
     h = hashlib.md5(payload or b"").digest()
     width = 64 + h[0] * 4
     height = 64 + h[1] * 4
+    # floor-micro, not round(…, 6): floor is identical in both engines,
+    # so the feature arithmetic is re-derivable by the external oracle
     feature = [
-        round((h[i % len(h)] - 128) / 128.0, 6) for i in range(FEATURE_DIM)
+        math.floor((h[i % len(h)] - 128) / 128.0 * 1000000.0) / 1000000.0
+        for i in range(FEATURE_DIM)
     ]
     return width, height, feature
 
