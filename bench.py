@@ -57,6 +57,29 @@ def _calibrate_host() -> float:
     return time.monotonic() - t0
 
 
+def _calibrate_host_parallel(n_threads: int = 32) -> float:
+    """Parallel reference: the observed drift is contention-shaped (a
+    slow pass shows normal single-core calib but 30-80% slower parallel
+    stages), so a bandwidth-sensitive probe is needed too. hashlib
+    releases the GIL for large buffers — n_threads md5 streams over
+    4 MB buffers approximate the engine's parallel memory pressure."""
+    import hashlib
+    from concurrent.futures import ThreadPoolExecutor
+
+    buf = b"\xcd" * (4 << 20)
+
+    def work(_):
+        h = hashlib.md5()
+        for _ in range(8):
+            h.update(buf)
+        return h.digest()
+
+    t0 = time.monotonic()
+    with ThreadPoolExecutor(max_workers=n_threads) as ex:
+        list(ex.map(work, range(n_threads)))
+    return time.monotonic() - t0
+
+
 def _noop_write(df) -> None:
     """Materialize a JVM-expression plan via the noop sink — a bare
     count() would let Catalyst prune away the very expressions under
@@ -155,9 +178,11 @@ def run_bench(sf_dir: str, cpus: int, replicate: int) -> dict:
             "docs_per_sec": round(n_docs / max(flagship_sec, 1e-9), 2),
             "cpus": cpus,
             "replicate": replicate,
-            # host-drift reference: single-core md5 loop, engine-
-            # independent; normalize cross-round comparisons by it
+            # host-drift references (engine-independent): single-core
+            # md5 loop + a parallel bandwidth-sensitive probe; normalize
+            # cross-round comparisons by these
             "calib_sec": round(_calibrate_host(), 3),
+            "calib_par_sec": round(_calibrate_host_parallel(cpus), 3),
         }
     finally:
         shutil.rmtree(corpus_dir, ignore_errors=True)
