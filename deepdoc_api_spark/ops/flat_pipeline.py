@@ -1228,3 +1228,60 @@ SELECT doc_id::VARCHAR AS doc_id, media_ref, media_kind,
                     / 128.0 * 1000000.0)))::BIGINT AS feat_micro_sum
 FROM m
 """
+
+
+# ---------------------------------------------------------------------------
+# pipeline → dedup composition: chunk-level exact dedup over flat chunks
+# ---------------------------------------------------------------------------
+#
+# The two halves of the engine composed under one oracle: the REAL
+# extraction+chunking kernel produces the chunk table, then the exact-
+# dedup machinery (md5 fingerprint → group → keeper) runs over it.
+# The mixed flat class exercises both verdict branches: media chunks
+# share the empty-text fingerprint (one corpus-wide boilerplate group,
+# is_dup = true beyond the keeper) while text/list/table chunks carry
+# hierarchy-prefixed unique texts (is_dup = false).
+
+
+def chunk_exact_dedup_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    chunks = mineru_flat_mixed(spark, sf_dir).selectExpr(
+        "doc_id", "chunk_index", "md5(text) as fp"
+    )
+    keepers = chunks.groupBy("fp").agg(
+        F.min(F.struct("doc_id", "chunk_index")).alias("k"),
+        F.count("*").alias("group_size"),
+    )
+    return (
+        chunks.join(keepers, "fp")
+        .selectExpr(
+            "doc_id",
+            "chunk_index",
+            "fp",
+            "k.doc_id as keeper_doc",
+            "k.chunk_index as keeper_idx",
+            "cast(group_size as bigint) as group_size",
+            "cast(not (doc_id = k.doc_id and chunk_index = k.chunk_index)"
+            " as boolean) as is_dup",
+        )
+    )
+
+
+CHUNK_EXACT_DEDUP_FLAT_SQL = f"""
+WITH chunks AS (SELECT doc_id, chunk_index, md5(text) AS fp
+                FROM ({_mixed_flat_sql()})),
+keepers AS (
+  SELECT fp,
+         min(doc_id * 1000000 + chunk_index) AS kkey,
+         count(*) AS group_size
+  FROM chunks GROUP BY fp
+)
+SELECT c.doc_id, c.chunk_index, c.fp,
+       (k.kkey // 1000000)::BIGINT AS keeper_doc,
+       (k.kkey % 1000000)::INTEGER AS keeper_idx,
+       k.group_size::BIGINT AS group_size,
+       NOT (c.doc_id = k.kkey // 1000000
+            AND c.chunk_index = k.kkey % 1000000) AS is_dup
+FROM chunks c JOIN keepers k USING (fp)
+"""
