@@ -131,17 +131,17 @@ def stale_epoch_cleanup_sql(
     epoch's progress as complete while the orphan DELETE removed part
     of the newer chunks — silent corruption (round-2 ADVICE). The
     parquet branch refuses/rebuilds on lineage mismatch; the Iceberg
-    twin rebuilds: drop the other epoch's progress rows AND all chunks
-    of the snapshot, so the run starts from a consistent empty epoch.
+    twin rebuilds — and the rebuild must drop ALL the snapshot's
+    progress rows, current epoch included: the chunks DELETE below is
+    snapshot-wide (epochs are indistinguishable chunk-side), so a
+    surviving current-epoch 'completed' row would make the resume
+    anti-join skip a bucket whose chunks were just deleted.
     """
     progress = f"{catalog}.{namespace}.progress"
     chunks = f"{catalog}.{namespace}.chunks"
     snap = _sq(input_snapshot)
     return [
-        (
-            f"DELETE FROM {progress} WHERE input_snapshot = '{snap}' "
-            f"AND num_buckets != {int(num_buckets)}"
-        ),
+        f"DELETE FROM {progress} WHERE input_snapshot = '{snap}'",
         f"DELETE FROM {chunks} WHERE input_snapshot = '{snap}'",
     ]
 

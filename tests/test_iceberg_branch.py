@@ -77,10 +77,13 @@ def test_stale_epoch_cleanup_sql_rebuilds_other_epoch():
 
     stmts = stale_epoch_cleanup_sql("cat", "ns", "snap-1", 64)
     assert len(stmts) == 2
+    # ALL the snapshot's progress rows go, current epoch included: the
+    # chunks DELETE is snapshot-wide (epochs indistinguishable
+    # chunk-side), so keeping a current-epoch 'completed' row would
+    # make resume skip a bucket whose chunks were just deleted
     assert "DELETE FROM cat.ns.progress" in stmts[0]
-    assert "num_buckets != 64" in stmts[0]
     assert "input_snapshot = 'snap-1'" in stmts[0]
-    # the chunks table cannot distinguish epochs -> full-snapshot rebuild
+    assert "num_buckets" not in stmts[0]
     assert "DELETE FROM cat.ns.chunks" in stmts[1]
     assert "input_snapshot = 'snap-1'" in stmts[1]
     assert "num_buckets" not in stmts[1]
