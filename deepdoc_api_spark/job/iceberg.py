@@ -120,7 +120,7 @@ def completed_buckets_sql(
 
 
 def stale_epoch_cleanup_sql(
-    catalog: str, namespace: str, input_snapshot: str, num_buckets: int
+    catalog: str, namespace: str, input_snapshot: str
 ) -> List[str]:
     """Invalidate state of a DIFFERENT bucket-count epoch for the same
     input snapshot.
@@ -155,39 +155,44 @@ def stale_epochs_sql(catalog: str, namespace: str, input_snapshot: str) -> str:
 
 
 def increment_stats(
+    processed_buckets: DataFrame,
     written_chunks: DataFrame,
     run_id: str,
     input_snapshot: str,
     num_buckets: int,
     wall_ms: int,
 ) -> DataFrame:
-    """Progress rows derived from the WRITTEN chunks of this run — one
-    aggregation of the committed increment, no re-evaluation of the
-    span lineage (round-2 verdict: the stats pass re-ran the whole
-    ``work`` plan and hard-coded chunks=0, wall_ms=0).
+    """Progress rows for every PROCESSED bucket, with chunk metrics
+    left-joined from the committed increment.
+
+    ``processed_buckets``: (partition_id, docs) — derived from a
+    doc_id-only pass over the work set (the scan prunes to one column;
+    the expensive span lineage is never re-evaluated — round-2 verdict).
+    Completeness must come from the work set, not the written chunks: a
+    bucket whose documents all yield zero chunks (e.g. empty spans)
+    writes nothing, and deriving progress from the chunks alone would
+    leave it incomplete forever, reprocessed on every resume.
 
     Metrics semantics (documented divergence from the parquet branch's
-    per-bucket writer timings): ``docs`` = documents that produced
-    chunks (a no-span document yields none), ``bytes`` = output text
-    bytes, ``wall_ms`` = the increment's wall clock stamped on every
-    bucket row (a single snapshot commit has no per-bucket timing).
+    per-bucket writer timings): ``bytes`` = output text bytes,
+    ``wall_ms`` = the increment's wall clock stamped on every bucket
+    row (a single snapshot commit has no per-bucket timing).
     """
     from pyspark.sql import functions as F
 
+    metrics = written_chunks.groupBy("partition_id").agg(
+        F.count("*").alias("chunks"),
+        F.sum("chunk_size").alias("bytes"),
+    )
     return (
-        written_chunks.groupBy("partition_id")
-        .agg(
-            F.countDistinct("doc_id").alias("docs"),
-            F.count("*").alias("chunks"),
-            F.sum("chunk_size").alias("bytes"),
-        )
+        processed_buckets.join(metrics, "partition_id", "left")
         .selectExpr(
             f"'{_sq(run_id)}' as run_id",
             "partition_id",
             "'completed' as status",
             "cast(docs as bigint) as docs",
-            "cast(chunks as bigint) as chunks",
-            "cast(bytes as bigint) as bytes",
+            "cast(coalesce(chunks, 0) as bigint) as chunks",
+            "cast(coalesce(bytes, 0) as bigint) as bytes",
             f"cast({int(wall_ms)} as bigint) as wall_ms",
             f"'{_sq(input_snapshot)}' as input_snapshot",
             f"cast({int(num_buckets)} as int) as num_buckets",
@@ -277,9 +282,7 @@ def run_checkpointed_iceberg(
         ).collect()
     ]
     if any(e != num_buckets for e in epochs):
-        for sql in stale_epoch_cleanup_sql(
-            catalog, namespace, input_snapshot, num_buckets
-        ):
+        for sql in stale_epoch_cleanup_sql(catalog, namespace, input_snapshot):
             spark.sql(sql)
 
     done = completed_buckets(spark, catalog, namespace, input_snapshot, num_buckets)
@@ -318,16 +321,18 @@ def run_checkpointed_iceberg(
     )
     append_chunks(chunks, catalog, namespace)
 
-    # stats from the committed increment: one aggregation of the written
-    # chunks (partition-pruned by run_id/snapshot), not a re-run of the
-    # span lineage
+    # completeness from the work set (doc_id-only scan — pruned, no
+    # kernel re-run), metrics from the committed increment
+    processed = work.groupBy(F.col("bucket").alias("partition_id")).agg(
+        F.count("*").alias("docs")
+    )
     written = spark.table(chunks_tbl).filter(
         (F.col("run_id") == run_id)
         & (F.col("input_snapshot") == input_snapshot)
     )
     wall_ms = int((_time.monotonic() - t_start) * 1000)
     stats = increment_stats(
-        written, run_id, input_snapshot, num_buckets, wall_ms
+        processed, written, run_id, input_snapshot, num_buckets, wall_ms
     )
     merge_progress(spark, stats, catalog, namespace)
     return {"run_id": run_id, "buckets_done_before": len(done)}

@@ -90,6 +90,11 @@ def get_spark(
             os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "4m"),
         )
         .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+        # reliable checkpoints (used by iterative ops when a checkpoint
+        # dir is configured) are deleted once their RDD is GC'd —
+        # without this a long-lived driver leaks one checkpoint per
+        # label-propagation round to the checkpoint volume
+        .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
         .config("spark.executorEnv.OMP_NUM_THREADS", "1")
         .config("spark.executorEnv.OPENBLAS_NUM_THREADS", "1")
         .config("spark.executorEnv.MKL_NUM_THREADS", "1")

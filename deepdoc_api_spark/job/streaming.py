@@ -138,7 +138,9 @@ def run_streaming_windowed_stats(
         .groupBy(F.window("ingest_ts", window_duration).alias("w"))
         .agg(
             F.count("*").alias("docs"),
-            F.sum(F.size("spans")).alias("spans"),
+            # size(NULL) is -1 in non-ANSI Spark: a null spans array
+            # must contribute 0, not subtract 1
+            F.sum(F.coalesce(F.size("spans"), F.lit(0))).alias("spans"),
         )
         .select(
             F.col("w.start").alias("window_start"),

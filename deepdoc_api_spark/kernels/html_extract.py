@@ -91,23 +91,24 @@ _TAG_RE = re.compile(
 _F_VOID, _F_DROP, _F_BOILER, _F_LEAF, _F_CONTAINER = 1, 2, 4, 8, 16
 _F_IMG, _F_BR, _F_A, _F_TABLE, _F_TR, _F_CELL = 32, 64, 128, 256, 512, 1024
 _TAG_FLAGS: Dict[str, int] = {}
-for _t in _VOID_TAGS:
-    _TAG_FLAGS[_t] = _F_VOID
-_TAG_FLAGS["img"] |= _F_IMG
-_TAG_FLAGS["br"] |= _F_BR
-for _t in _DROP_TAGS:
-    _TAG_FLAGS[_t] = _F_DROP
-for _t in _BOILERPLATE_TAGS:
-    _TAG_FLAGS[_t] = _F_BOILER
-for _t in _LEAF_KIND:
-    _TAG_FLAGS[_t] = _F_LEAF
-for _t in _CONTAINER_TAGS:
-    _TAG_FLAGS[_t] = _F_CONTAINER
-_TAG_FLAGS["a"] = _F_A
-_TAG_FLAGS["table"] = _F_TABLE
-_TAG_FLAGS["tr"] = _F_TR
-_TAG_FLAGS["td"] = _F_CELL
-_TAG_FLAGS["th"] = _F_CELL
+# OR-merge every class so a tag appearing in two sets keeps both bits —
+# plain assignment would silently clobber earlier flags if the sets
+# ever stop being disjoint (they are today; don't depend on it)
+for _t, _f in [
+    *[(t, _F_VOID) for t in _VOID_TAGS],
+    ("img", _F_IMG),
+    ("br", _F_BR),
+    *[(t, _F_DROP) for t in _DROP_TAGS],
+    *[(t, _F_BOILER) for t in _BOILERPLATE_TAGS],
+    *[(t, _F_LEAF) for t in _LEAF_KIND],
+    *[(t, _F_CONTAINER) for t in _CONTAINER_TAGS],
+    ("a", _F_A),
+    ("table", _F_TABLE),
+    ("tr", _F_TR),
+    ("td", _F_CELL),
+    ("th", _F_CELL),
+]:
+    _TAG_FLAGS[_t] = _TAG_FLAGS.get(_t, 0) | _f
 _ATTR_RE = re.compile(
     r"([a-zA-Z][a-zA-Z0-9_-]*)\s*=\s*(?:\"([^\"]*)\"|'([^']*)'|(\S+))"
 )

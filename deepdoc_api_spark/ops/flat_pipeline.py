@@ -1244,27 +1244,31 @@ FROM m
 
 
 def chunk_exact_dedup_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import functions as F
-
+    # window over fp, not groupBy + self-join: the join shape would
+    # evaluate the extraction kernel subtree twice (once per side). One
+    # shuffle on fp, one kernel pass. Skew note: a degenerate hot
+    # fingerprint (here: the corpus-wide empty-media group) lands in one
+    # window partition — acceptable for a verify query; a production
+    # chunk-dedup pass pre-filters empty texts or salts the hot fp.
     chunks = mineru_flat_mixed(spark, sf_dir).selectExpr(
         "doc_id", "chunk_index", "md5(text) as fp"
     )
-    keepers = chunks.groupBy("fp").agg(
-        F.min(F.struct("doc_id", "chunk_index")).alias("k"),
-        F.count("*").alias("group_size"),
-    )
-    return (
-        chunks.join(keepers, "fp")
-        .selectExpr(
-            "doc_id",
-            "chunk_index",
-            "fp",
-            "k.doc_id as keeper_doc",
-            "k.chunk_index as keeper_idx",
-            "cast(group_size as bigint) as group_size",
-            "cast(not (doc_id = k.doc_id and chunk_index = k.chunk_index)"
-            " as boolean) as is_dup",
-        )
+    return chunks.selectExpr(
+        "doc_id",
+        "chunk_index",
+        "fp",
+        "min(named_struct('doc_id', doc_id, 'chunk_index', chunk_index))"
+        " over (partition by fp) as k",
+        "cast(count(*) over (partition by fp) as bigint) as group_size",
+    ).selectExpr(
+        "doc_id",
+        "chunk_index",
+        "fp",
+        "k.doc_id as keeper_doc",
+        "k.chunk_index as keeper_idx",
+        "group_size",
+        "cast(not (doc_id = k.doc_id and chunk_index = k.chunk_index)"
+        " as boolean) as is_dup",
     )
 
 

@@ -250,9 +250,11 @@ def _band_sig_exprs(dim: int, quote: bool, n_bands: int, band_bits: int):
     return out
 
 
-#: deterministic id offset of planted twin vectors (see
-#: ``embedding_near_dup_pairs_planted``)
-PLANT_ID_OFFSET = 10_000_000
+#: planted twin id = -(vec_id + 1): the negated id space cannot collide
+#: with any non-negative real vec_id at ANY table size (a fixed offset
+#: would collide once the table outgrows it), and the arithmetic is
+#: identical in both engines
+_TWIN_ID_EXPR = "-(vec_id + 1)"
 
 #: twin derivation: halve component 1 (an exponent decrement — exact in
 #: float32, and identically rounded in Spark and DuckDB for the odd-
@@ -351,7 +353,7 @@ def embedding_near_dup_pairs_planted(
     band_bits: int = NEAR_DUP_BAND_BITS,
 ) -> DataFrame:
     """Near-dup pairs over the table UNIONed with deterministic twin
-    vectors (id + PLANT_ID_OFFSET, component 1 halved).
+    vectors (id = -(vec_id + 1), component 1 halved).
 
     The driver's synthetic embeddings are near-random (max pairwise
     cos 0.513 at sf0.01), so the raw op's correct answer is the empty
@@ -361,7 +363,7 @@ def embedding_near_dup_pairs_planted(
     DuckDB re-derivation value-exactly."""
     emb = _emb(spark, sf_dir)
     twins = emb.selectExpr(
-        f"vec_id + {PLANT_ID_OFFSET} as vec_id", f"{_TWIN_EXPR} as embedding"
+        f"{_TWIN_ID_EXPR} as vec_id", f"{_TWIN_EXPR} as embedding"
     )
     aug = emb.select("vec_id", "embedding").unionByName(twins)
     dim = _embedding_dim(sf_dir)
@@ -425,7 +427,7 @@ def embedding_near_dup_pairs_planted_sql(
 ) -> str:
     source = (
         "SELECT vec_id, embedding FROM embeddings UNION ALL "
-        f"SELECT vec_id + {PLANT_ID_OFFSET}, {_TWIN_SQL} FROM embeddings"
+        f"SELECT {_TWIN_ID_EXPR}, {_TWIN_SQL} FROM embeddings"
     )
     return _near_dup_pairs_sql_from(
         source, threshold_micro, n_bands, band_bits, dim

@@ -75,7 +75,7 @@ def test_stale_epoch_cleanup_sql_rebuilds_other_epoch():
         stale_epochs_sql,
     )
 
-    stmts = stale_epoch_cleanup_sql("cat", "ns", "snap-1", 64)
+    stmts = stale_epoch_cleanup_sql("cat", "ns", "snap-1")
     assert len(stmts) == 2
     # ALL the snapshot's progress rows go, current epoch included: the
     # chunks DELETE is snapshot-wide (epochs indistinguishable
@@ -90,7 +90,7 @@ def test_stale_epoch_cleanup_sql_rebuilds_other_epoch():
     probe = stale_epochs_sql("cat", "ns", "snap-1")
     assert "DISTINCT num_buckets" in probe and "snap-1" in probe
     # quoting: a hostile snapshot id cannot escape the literal
-    assert "''" in stale_epoch_cleanup_sql("c", "n", "x'y", 8)[0]
+    assert "''" in stale_epoch_cleanup_sql("c", "n", "x'y")[0]
 
 
 def test_increment_stats_reports_real_metrics(spark):
@@ -108,12 +108,20 @@ def test_increment_stats_reports_real_metrics(spark):
         ],
         "doc_id string, partition_id int, chunk_size int",
     )
+    processed = spark.createDataFrame(
+        [(0, 3), (1, 1), (2, 4)], "partition_id int, docs long"
+    )
     rows = {
         r.partition_id: r
-        for r in increment_stats(written, "run-1", "snap-1", 64, 1234).collect()
+        for r in increment_stats(
+            processed, written, "run-1", "snap-1", 64, 1234
+        ).collect()
     }
-    assert rows[0].docs == 2 and rows[0].chunks == 3 and rows[0].bytes == 35
+    assert rows[0].docs == 3 and rows[0].chunks == 3 and rows[0].bytes == 35
     assert rows[1].docs == 1 and rows[1].chunks == 1 and rows[1].bytes == 7
+    # a processed bucket with ZERO chunks still completes (else it is
+    # reprocessed on every resume forever)
+    assert rows[2].docs == 4 and rows[2].chunks == 0 and rows[2].bytes == 0
     for r in rows.values():
         assert r.status == "completed"
         assert r.wall_ms == 1234

@@ -170,7 +170,9 @@ def test_embedding_near_dup_planted_matches_raw_shape(spark, sf_dir):
     rows = similarity.embedding_near_dup_pairs_planted(spark, sf_dir).collect()
     assert len(rows) > 0, "planted variant returned no pairs"
     for r in rows:
-        assert r.id_b == r.id_a + similarity.PLANT_ID_OFFSET
+        # twin ids live in the negated space (collision-free at any
+        # table size): the pair is (twin, original) after id_a < id_b
+        assert r.id_a == -(r.id_b + 1)
         assert r.sim_micro >= 900_000
 
 
