@@ -219,6 +219,26 @@ def format_records(records: List[Dict]) -> List[Dict]:
     return formatted
 
 
+def sort_reading_order(records: List[Dict]) -> List[Dict]:
+    """O2 — reading-order recovery: stable sort by (page, y0, x0).
+
+    Mirrors ``layout_processor.py:70-86`` (blocks sorted by bbox
+    top-then-left within each page; ties keep input order — Python's
+    sort is stable, like the reference's ``sorted``). The span-table
+    corpus arrives offset-ordered so the pipeline normally skips this,
+    but layout sources that emit blocks in detection order (not reading
+    order) run it between extraction and the fold."""
+    def key(rec: Dict):
+        bbox = rec.get("bbox") or {}
+        return (
+            rec.get("page") or 0,
+            bbox.get("top") if bbox.get("top") is not None else 0.0,
+            bbox.get("left") if bbox.get("left") is not None else 0.0,
+        )
+
+    return sorted(records, key=key)
+
+
 def parse_page_label(page_str: str) -> List[int]:
     """Expand a page label (``"3"`` or ``"3 - 5"``) into page ints.
 

@@ -1289,3 +1289,88 @@ SELECT c.doc_id, c.chunk_index, c.fp,
             AND c.chunk_index = k.kkey % 1000000) AS is_dup
 FROM chunks c JOIN keepers k USING (fp)
 """
+
+
+# ---------------------------------------------------------------------------
+# O2 reading-order sort — real kernel vs arithmetic oracle
+# ---------------------------------------------------------------------------
+#
+# The span contract delivers offset order, so O2 is normally folded into
+# the offset convention — this query proves the operator itself: spans
+# are emitted in a SCRAMBLED deterministic interleave (ordered by
+# (i % 3, i)), the real span_to_records -> sort_reading_order kernel
+# restores reading order from the synthesized bbox (page, top, left),
+# and DuckDB re-derives the restored sequence by arithmetic (offset =
+# i*300 is monotone in page-then-top, tops distinct within a page).
+
+
+def reading_order_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = spark.sparkContext.defaultParallelism * 2
+    docs = (
+        spark.read.parquet(f"{sf_dir.rstrip('/')}/documents.parquet")
+        .select("doc_id", "text")
+        .repartition(n, "doc_id")
+    )
+    grp = f"concat_ws(' ', slice(ws, i * {GROUP_WORDS} + 1, {GROUP_WORDS}))"
+    spans_df = docs.selectExpr(
+        "cast(doc_id as string) as doc_id", "split(trim(text), '\\\\s+') as ws"
+    ).selectExpr(
+        "doc_id",
+        # scrambled interleave: all i % 3 == 0 groups first, then 1, 2
+        f"""
+        transform(
+          array_sort(
+            transform(sequence(0, cast(ceil(size(ws) / {GROUP_WORDS}.0) as int) - 1),
+                      i -> named_struct('o', cast(i % 3 as int), 'i', i)),
+            (a, b) -> case when a.o < b.o or (a.o = b.o and a.i < b.i) then -1
+                           when a.o = b.o and a.i = b.i then 0 else 1 end),
+          s -> named_struct(
+            'kind', 'text',
+            'text', concat('G', cast(s.i as string), ' ',
+                           {grp.replace('i *', 's.i *').replace('(ws, i', '(ws, s.i')}),
+            'media_ref', '',
+            'offset', cast(s.i * 300 as int)))
+        as spans
+        """,
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from deepdoc_api_spark.kernels.layout import (
+            extract_records,
+            sort_reading_order,
+        )
+
+        for pdf in batches:
+            rows = []
+            for doc_id, spans in zip(pdf["doc_id"], pdf["spans"]):
+                recs = extract_records(
+                    [dict(s) for s in (spans if spans is not None else [])]
+                )
+                for pos, rec in enumerate(sort_reading_order(recs)):
+                    rows.append(
+                        (doc_id, pos, rec["offset"], rec["page"], rec["content"])
+                    )
+            if rows:
+                yield pd.DataFrame(
+                    rows,
+                    columns=["doc_id", "position", "offset", "page", "content"],
+                )
+
+    return spans_df.mapInPandas(
+        run, "doc_id string, position int, offset int, page int, content string"
+    )
+
+
+READING_ORDER_FLAT_SQL = f"""
+WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws FROM documents),
+idx AS (SELECT doc_id, ws, unnest(range(0, CAST(ceil(len(ws) / {GROUP_WORDS}.0) AS INTEGER))) AS i FROM w)
+SELECT doc_id::VARCHAR AS doc_id,
+       (row_number() OVER (PARTITION BY doc_id ORDER BY i) - 1)::INTEGER
+         AS position,
+       (i * 300)::INTEGER AS offset,
+       ((i * 300) // 1000 + 1)::INTEGER AS page,
+       'G' || i || ' ' ||
+         array_to_string(ws[i * {GROUP_WORDS} + 1 : i * {GROUP_WORDS} + {GROUP_WORDS}], ' ')
+         AS content
+FROM idx
+"""

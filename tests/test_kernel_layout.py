@@ -238,3 +238,32 @@ def test_span_to_records_html_fanout():
     recs = span_to_records("html", html, "", 2500)
     assert [r["kind"] for r in recs] == ["text", "media"]
     assert all(r["page"] == 3 for r in recs)
+
+
+def test_sort_reading_order_restores_page_top_left():
+    """O2: stable (page, top, left) sort — mirrors the reference's
+    per-page y0/x0 block ordering (layout_processor.py:70-86)."""
+    from deepdoc_api_spark.kernels.layout import sort_reading_order
+
+    def rec(page, top, left, tag):
+        return {
+            "kind": "text", "content": tag, "media_ref": "",
+            "page": page, "offset": 0,
+            "bbox": {"top": float(top), "left": float(left)},
+        }
+
+    scrambled = [
+        rec(2, 10, 0, "e"),
+        rec(1, 50, 5, "c"),
+        rec(1, 10, 300, "b"),
+        rec(1, 10, 20, "a"),
+        rec(1, 50, 5, "d"),  # exact tie with c: stable -> c before d
+    ]
+    out = [r["content"] for r in sort_reading_order(scrambled)]
+    assert out == ["a", "b", "c", "d", "e"]
+
+    # records without a bbox sort by page with (0, 0) geometry
+    mixed = [rec(1, 5, 5, "y"), {"kind": "media", "content": "",
+             "media_ref": "m", "page": 1, "offset": 0, "bbox": None}]
+    out = [r["content"] for r in sort_reading_order(mixed)]
+    assert out == ["", "y"]
