@@ -438,3 +438,72 @@ SELECT l.doc_id, l.n_lines, l.dup_line_milli, l.mean_word_len_centi,
             ELSE 'ok' END AS gopher_flag
 FROM line_stats l LEFT JOIN bg_top b USING (doc_id)
 """
+
+
+# ---------------------------------------------------------------------------
+# tf-idf top terms per document
+# ---------------------------------------------------------------------------
+
+
+def tfidf_top_terms(
+    spark: SparkSession, sf_dir: str, k: int = 5
+) -> DataFrame:
+    """Top-``k`` characteristic terms per document, ranked by ``tf/df``
+    (rank-equivalent to tf-idf for a fixed corpus size, and — unlike
+    ``tf·ln(N/df)`` — exactly reproducible across engines: IEEE division
+    is correctly rounded, ``ln`` is not).
+
+    Plan shape: one explode to (doc_id, term) with map-side-combinable
+    counts, a document-frequency aggregate on the term, and a term-keyed
+    shuffle join of the two — the classic corpus-statistics join; at
+    lake scale both sides are partial-aggregated before the exchange
+    and the join key space is the vocabulary.
+    """
+    words = _docs(spark, sf_dir).selectExpr(
+        "doc_id", "explode(split(trim(lower(text)), '\\\\s+')) as term"
+    )
+    tf = words.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df = (
+        tf.groupBy("term")
+        .agg(F.count("*").alias("df"))  # tf rows are per-(doc, term): df = doc count
+    )
+    scored = tf.join(df, "term").selectExpr(
+        "doc_id",
+        "term",
+        "cast(tf as bigint) as tf",
+        "cast(df as bigint) as df",
+        "cast(floor(1000000.0 * tf / df) as bigint) as score_micro",
+    )
+    return (
+        scored.withColumn(
+            "rank",
+            F.expr(
+                "row_number() over (partition by doc_id"
+                " order by score_micro desc, term asc)"
+            ),
+        )
+        .filter(F.col("rank") <= k)
+        .selectExpr("doc_id", "term", "tf", "df", "score_micro",
+                    "cast(rank as int) rank")
+    )
+
+
+def tfidf_top_terms_sql(k: int = 5) -> str:
+    return f"""
+WITH words AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM words GROUP BY doc_id, term),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf::BIGINT AS tf, df.df::BIGINT AS df,
+         CAST(floor(1000000.0 * tf.tf / df.df) AS BIGINT) AS score_micro
+  FROM tf JOIN df USING (term)
+)
+SELECT doc_id, term, tf, df, score_micro, rank::INTEGER AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+            ORDER BY score_micro DESC, term ASC) AS rank
+  FROM scored)
+WHERE rank <= {k}
+"""
