@@ -336,3 +336,22 @@ def test_containment_catches_subset_jaccard_misses(spark, sf_dir):
     assert set(jac) == set(cont), "same LSH candidate set must drive both"
     for pair, c in cont.items():
         assert c >= jac[pair], f"containment < jaccard for {pair}"
+
+
+def test_new_round3_ops_plan_shapes(spark, sf_dir):
+    """Plan pins for the round-3 ops: containment reuses the guarded
+    LSH blocking (broadcast suppression before the self-join); tfidf
+    and gopher stay pure-JVM expressions (no Python in the plan)."""
+    from deepdoc_api_spark.ops import dedup, text_analysis
+
+    plan = plan_of(dedup.containment_near_dup_pairs(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, "bucket-suppression broadcast missing"
+
+    for df in (
+        text_analysis.tfidf_top_terms(spark, sf_dir),
+        text_analysis.gopher_repetition(spark, sf_dir),
+    ):
+        plan = plan_of(df)
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan
+        assert "MapInPandas" not in plan
