@@ -507,3 +507,62 @@ SELECT doc_id, term, tf, df, score_micro, rank::INTEGER AS rank FROM (
   FROM scored)
 WHERE rank <= {k}
 """
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing (emails/phones) — planted-PII verify path
+# ---------------------------------------------------------------------------
+
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PHONE_RE = r"\+?\d[\d -]{7,}\d"
+
+
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redact emails and phone numbers; report per-doc counts and the
+    fingerprint of the scrubbed text — the privacy pass a training
+    pipeline runs before anything leaves the lake.
+
+    The synthetic corpus contains no natural PII (counts would be a
+    vacuous 0==0 oracle), so each document is AUGMENTED with one
+    deterministic email + phone derived from its doc_id — identical
+    string arithmetic in both engines — and the scrubber must find and
+    redact them value-exactly (emails first, then phones; order is part
+    of the contract since the patterns could otherwise overlap).
+    """
+    e, p = _EMAIL_RE.replace("\\", "\\\\"), _PHONE_RE.replace("\\", "\\\\")
+    return (
+        _docs(spark, sf_dir)
+        .selectExpr(
+            "doc_id",
+            "concat(text, ' contact user', cast(doc_id as string),"
+            " '@example.com tel +1 555 000 ',"
+            " cast(doc_id % 10000 as string)) as t",
+        )
+        .selectExpr(
+            "doc_id",
+            f"cast(size(regexp_extract_all(t, '{e}', 0)) as bigint) as n_emails",
+            f"cast(size(regexp_extract_all(regexp_replace(t, '{e}', '<EMAIL>'),"
+            f" '{p}', 0)) as bigint) as n_phones",
+            f"md5(regexp_replace(regexp_replace(t, '{e}', '<EMAIL>'),"
+            f" '{p}', '<PHONE>')) as scrubbed_fp",
+        )
+    )
+
+
+def pii_scrub_sql() -> str:
+    e, p = _EMAIL_RE, _PHONE_RE
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         text || ' contact user' || doc_id || '@example.com tel +1 555 000 '
+              || (doc_id % 10000) AS t
+  FROM documents
+)
+SELECT doc_id,
+       len(regexp_extract_all(t, '{e}'))::BIGINT AS n_emails,
+       len(regexp_extract_all(regexp_replace(t, '{e}', '<EMAIL>', 'g'),
+           '{p}'))::BIGINT AS n_phones,
+       md5(regexp_replace(regexp_replace(t, '{e}', '<EMAIL>', 'g'),
+           '{p}', '<PHONE>', 'g')) AS scrubbed_fp
+FROM t
+"""
