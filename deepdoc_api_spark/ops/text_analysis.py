@@ -566,3 +566,46 @@ SELECT doc_id,
            '{p}', '<PHONE>', 'g')) AS scrubbed_fp
 FROM t
 """
+
+
+# ---------------------------------------------------------------------------
+# corpus source mix (sampling-balance diagnostic)
+# ---------------------------------------------------------------------------
+
+
+def source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus composition: doc count, text volume, and the
+    corpus share (milli) — the sampling-balance diagnostic a training
+    pipeline checks before mixing sources (an over-represented crawl
+    slice gets down-weighted; >200 milli flags dominance). One groupBy
+    on the source key plus a 1-row broadcast total; scale-safe."""
+    docs = _docs(spark, sf_dir)
+    per = docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.length("text")).alias("n_chars"),
+    )
+    total = docs.agg(F.count("*").alias("total_docs"))
+    return (
+        per.join(F.broadcast(total))
+        .selectExpr(
+            "source",
+            "cast(n_docs as bigint) as n_docs",
+            "cast(n_chars as bigint) as n_chars",
+            "cast(floor(1000.0 * n_docs / total_docs) as bigint) as share_milli",
+            "cast(floor(1000.0 * n_docs / total_docs) > 200 as boolean)"
+            " as dominant",
+        )
+    )
+
+
+SOURCE_MIX_SQL = """
+WITH per AS (
+  SELECT source, count(*) AS n_docs, sum(length(text)) AS n_chars
+  FROM documents GROUP BY source
+),
+t AS (SELECT count(*) AS total_docs FROM documents)
+SELECT source, n_docs::BIGINT AS n_docs, n_chars::BIGINT AS n_chars,
+       CAST(floor(1000.0 * n_docs / total_docs) AS BIGINT) AS share_milli,
+       (floor(1000.0 * n_docs / total_docs) > 200) AS dominant
+FROM per, t
+"""
