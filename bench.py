@@ -128,8 +128,6 @@ def run_bench(sf_dir: str, cpus: int, replicate: int) -> dict:
         # timings measure the engine, not one-time process startup —
         # measured ~3.7 s of worker spawn otherwise lands entirely in
         # whichever query runs first (corpus_gen)
-        import pandas as _pd
-
         spark.range(cpus * 2).repartition(cpus * 2).mapInPandas(
             lambda it: (pdf for pdf in it), "id long"
         ).write.format("noop").mode("overwrite").save()
