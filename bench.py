@@ -110,13 +110,14 @@ def _materialize_corpus(spark, sf_dir: str, replicate: int, dest: str) -> float:
 def run_bench(sf_dir: str, cpus: int, replicate: int) -> dict:
     os.environ["SPARK_GRAFT_CPUS"] = str(cpus)
     from deepdoc_api_spark.job.pipeline import chunk_documents
-    from deepdoc_api_spark.job.session import get_spark
+    from deepdoc_api_spark.job.session import KERNEL_SPLIT_BYTES, get_spark
     from deepdoc_api_spark.ops import dedup, similarity, text_analysis
 
     spark = get_spark(
         app_name=f"ddspark-bench-{cpus}",
         master=f"local[{cpus}]",
         shuffle_partitions=max(2 * cpus, 16),
+        kernel_split_bytes=KERNEL_SPLIT_BYTES,
     )
     corpus_dir = tempfile.mkdtemp(prefix="ddspark-bench-corpus-")
     spans_path = os.path.join(corpus_dir, "spans.parquet")
@@ -138,17 +139,26 @@ def run_bench(sf_dir: str, cpus: int, replicate: int) -> dict:
         spans = spark.read.parquet(spans_path)
         n_docs = spans.count()
 
-        t0 = time.monotonic()
-        n_chunks = chunk_documents(spans, "hybrid").count()
-        flagship_sec = time.monotonic() - t0
+        # Flagship: three passes with a calib probe beside each. The
+        # round-3 driver run recorded a 2x cold-pass outlier that the
+        # (pre/post) calib pair did not see — a single cold pass is too
+        # noisy to steer on. The headline `value` is the MEDIAN of the
+        # three; the first (cold) pass stays visible as
+        # pipeline_hybrid_cold_first, the best steady-state as
+        # pipeline_hybrid_warm, and flagship_calib carries the per-pass
+        # host reference for drift normalization.
+        flagship_passes: list[float] = []
+        flagship_calib: list[float] = []
+        n_chunks = 0
+        for _ in range(3):
+            t0 = time.monotonic()
+            n_chunks = chunk_documents(spans, "hybrid").count()
+            flagship_passes.append(time.monotonic() - t0)
+            flagship_calib.append(round(_calibrate_host(), 3))
+        flagship_sec = sorted(flagship_passes)[1]
         timings["pipeline_hybrid"] = round(flagship_sec, 3)
-
-        # steady-state companion to the cold pass above (same plan,
-        # warmed JIT/codegen) — the spread between the two is the
-        # cold-start + host-drift envelope
-        t0 = time.monotonic()
-        chunk_documents(spans, "hybrid").count()
-        timings["pipeline_hybrid_warm"] = round(time.monotonic() - t0, 3)
+        timings["pipeline_hybrid_cold_first"] = round(flagship_passes[0], 3)
+        timings["pipeline_hybrid_warm"] = round(min(flagship_passes[1:]), 3)
 
         for name, ct in (("pipeline_mineru", "mineru"), ("pipeline_toc", "toc")):
             t0 = time.monotonic()
@@ -193,6 +203,10 @@ def run_bench(sf_dir: str, cpus: int, replicate: int) -> dict:
             # cross-round comparisons by these
             "calib_sec": round(_calibrate_host(), 3),
             "calib_par_sec": round(_calibrate_host_parallel(cpus), 3),
+            # per-pass flagship times + the calib measured beside each —
+            # the audit trail for any single-pass outlier
+            "flagship_passes": [round(s, 3) for s in flagship_passes],
+            "flagship_calib": flagship_calib,
         }
     finally:
         shutil.rmtree(corpus_dir, ignore_errors=True)
@@ -202,12 +216,16 @@ def run_bench(sf_dir: str, cpus: int, replicate: int) -> dict:
 def run_scaling(sf_dir: str, replicate: int) -> dict:
     """Same job, same parquet span input, multiple core counts."""
     from deepdoc_api_spark.job.pipeline import chunk_documents
-    from deepdoc_api_spark.job.session import get_spark
+    from deepdoc_api_spark.job.session import KERNEL_SPLIT_BYTES, get_spark
 
     corpus_dir = tempfile.mkdtemp(prefix="ddspark-scaling-corpus-")
     spans_path = os.path.join(corpus_dir, "spans.parquet")
     try:
-        spark = get_spark(master="local[32]", app_name="scaling-gen")
+        spark = get_spark(
+            master="local[32]",
+            app_name="scaling-gen",
+            kernel_split_bytes=KERNEL_SPLIT_BYTES,
+        )
         _materialize_corpus(spark, sf_dir, replicate, spans_path)
         n_docs = spark.read.parquet(spans_path).count()
         spark.stop()
@@ -218,6 +236,7 @@ def run_scaling(sf_dir: str, replicate: int) -> dict:
                 master=f"local[{cpus}]",
                 shuffle_partitions=max(2 * cpus, 16),
                 app_name=f"scaling-{cpus}",
+                kernel_split_bytes=KERNEL_SPLIT_BYTES,
             )
             spans = spark.read.parquet(spans_path)
             # best-of-2 per level: the first pass pays JVM/codegen/python

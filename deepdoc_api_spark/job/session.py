@@ -52,14 +52,33 @@ def build_py_files_zip(dest_dir: Optional[str] = None) -> str:
     return zip_path
 
 
+#: split sizing for CPU-bound Python-kernel stages: the fused
+#: extraction+chunking kernel costs ~20ms/doc of Python CPU per ~150
+#: bytes of parquet, so default 128m splits give single-wave,
+#: minutes-long tasks whose skew sets the stage time. 4m targets ~4
+#: task waves per core on this corpus shape (measured: 29 splits ->
+#: 149 splits cut the flagship stage ~20% via wave balancing alone).
+#: Entry points that RUN the kernel pipeline (bench.py, run_job.py)
+#: pass this as ``kernel_split_bytes``; the shared builder default
+#: stays at Spark's 128m so ordinary IO-bound scans are not inflated
+#: 32x (round-3 ADVICE).
+KERNEL_SPLIT_BYTES = "4m"
+
+
 def get_spark(
     app_name: str = "deepdoc_api_spark",
     master: Optional[str] = None,
     shuffle_partitions: Optional[int] = None,
     arrow_batch_rows: int = 1024,
     extra_conf: Optional[dict] = None,
+    kernel_split_bytes: Optional[str] = None,
 ) -> SparkSession:
-    """Build a tuned SparkSession and ship the kernel package."""
+    """Build a tuned SparkSession and ship the kernel package.
+
+    ``kernel_split_bytes``: pass :data:`KERNEL_SPLIT_BYTES` from entry
+    points whose dominant stage is the CPU-bound Python kernel (see the
+    constant's doc); leave ``None`` for general sessions.
+    ``SPARK_GRAFT_MAX_PARTITION_BYTES`` overrides either choice."""
     if master is None:
         cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
         master = f"local[{cpus}]"
@@ -77,18 +96,6 @@ def get_spark(
         .config(
             "spark.sql.execution.arrow.maxRecordsPerBatch", str(arrow_batch_rows)
         )
-        # Split sizing for CPU-bound Python kernels: the fused
-        # extraction+chunking kernel costs ~20ms/doc of Python CPU per
-        # ~150 bytes of parquet, so the default 128m splits would give
-        # single-wave, minutes-long tasks whose skew sets the stage time.
-        # 4m targets ~4 task waves per core on this corpus shape
-        # (measured: 29 splits -> 149 splits cut the flagship stage ~20%
-        # via wave balancing alone). At cluster scale the same rule
-        # applies per executor count; override via env for IO-bound jobs.
-        .config(
-            "spark.sql.files.maxPartitionBytes",
-            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "4m"),
-        )
         .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
         # reliable checkpoints (used by iterative ops when a checkpoint
         # dir is configured) are deleted once their RDD is GC'd —
@@ -101,6 +108,11 @@ def get_spark(
         .config("spark.ui.enabled", os.environ.get("SPARK_UI", "false"))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
     )
+    split_bytes = os.environ.get(
+        "SPARK_GRAFT_MAX_PARTITION_BYTES", kernel_split_bytes
+    )
+    if split_bytes:
+        builder = builder.config("spark.sql.files.maxPartitionBytes", split_bytes)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

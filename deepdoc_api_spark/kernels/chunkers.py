@@ -136,6 +136,15 @@ def _split_oversized(el: Dict, budget: int, ctx_tokens: int) -> List[Dict]:
     each piece's contextualized token count fits the budget. Word
     joining uses single spaces (spec'd: only oversized elements are
     re-whitespaced).
+
+    OWNERSHIP: the fits-budget fast path returns the ORIGINAL element
+    dict (no defensive copy — measured kernel-CPU win, round 3), and
+    the caller's merge loop then mutates text/_tok/pages in place. So
+    every element passed in is CONSUMED: callers must hand over freshly
+    built dicts (hierarchical_elements does) and must not reuse them
+    after the call — a retry/cascade path that replays the same element
+    list would see merged state. Enforced by the ownership contract in
+    :func:`hybrid_chunks`'s docstring rather than a copy here.
     """
     avail = max(budget - ctx_tokens, 32)
     if el["_tok"] <= avail:
@@ -175,7 +184,14 @@ def hybrid_chunks(
     pattern: str = DEFAULT_SECTION_PATTERN,
 ) -> List[Dict]:
     """K1 — hierarchical elements → split oversized → merge same-heading
-    peers while the merged contextualized text fits the budget."""
+    peers while the merged contextualized text fits the budget.
+
+    OWNERSHIP: the merge loop mutates element dicts in place (no
+    defensive copies — round-3 kernel-CPU win). Safe because
+    ``hierarchical_elements`` builds fresh dicts per call; any future
+    caller feeding externally owned elements must copy first (see
+    :func:`_split_oversized`'s fits-budget fast path, which returns the
+    original dict)."""
     elements = hierarchical_elements(records, pattern)
 
     # heading-context token counts, cached per distinct stack object

@@ -165,7 +165,10 @@ def _all_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, band, band_sig) — ONE signature computation per row,
     bands fanned out with a single explode (a per-band union would
     re-evaluate the md5 minhash subplan once per band)."""
-    sig = minhash_signatures(spark, sf_dir)
+    return _bands_of(minhash_signatures(spark, sf_dir))
+
+
+def _bands_of(sig: DataFrame) -> DataFrame:
     structs = ", ".join(
         "named_struct('band', {b}, 'band_sig', {cols})".format(
             b=b,
@@ -286,30 +289,64 @@ def jaccard_near_dup_pairs_sql(threshold_milli: int = 500) -> str:
     )
 
 
-def containment_near_dup_pairs(
-    spark: SparkSession, sf_dir: str, threshold_milli: int = 800
-) -> DataFrame:
-    """Shingle-containment pairs: ``|A∩B| / min(|A|,|B|)`` ≥ threshold.
+#: inverted-index blocking for containment (round-3 VERDICT #4): a
+#: shingle whose document frequency exceeds this is a stop-shingle —
+#: dropping it from the index bounds the per-probe candidate fan-out.
+MAX_SHINGLE_DF = 64
+#: each doc probes the index with its BOTTOM_K smallest shingle hashes
+#: — if A ⊆ B at containment c, each of A's probes independently lands
+#: in B's index with probability ~c (hash order is independent of
+#: membership), so P(miss) ≤ (1-c)^K ≈ 0.0016 at c=0.8, K=4. This is
+#: the size-asymmetric blocking the Jaccard-tuned MinHash bands lack:
+#: a tiny doc quoted inside a huge one shares almost no minhashes with
+#: it (Jaccard ≈ |A|/|B|) but ALWAYS has its probes in the big doc's
+#: index.
+CONTAINMENT_PROBE_K = 4
 
-    The asymmetric complement of :func:`jaccard_near_dup_pairs`: a
-    document fully quoted inside a 10× larger one has Jaccard ≈ 0.1 but
-    containment 1.0 — the subset/quote case a training-data dedup pass
-    must catch (cf. "Deduplicating Training Data Makes Language Models
-    Better", Lee et al. 2022, which dedups on substring containment).
-    Candidates come from the same MinHash-LSH blocking + frequent-band
-    suppression as the Jaccard path; exact verify on the deduped
-    shingle arrays. Recall caveat (documented, not hidden): MinHash
-    approximates JACCARD, so a tiny doc contained in a huge one may not
-    block into a shared band — containment-complete blocking would need
-    size-stratified signatures; this op reports what the shared
-    blocking finds.
+#: planted quote-inclusion family (driver verify path): docs with ≥
+#: _QUOTE_MIN_WORDS words and doc_id % _QUOTE_DOC_MOD == 0 get a twin
+#: (id = -(doc_id+1), the negated id space cannot collide) holding only
+#: their first _QUOTE_WORDS words — containment exactly 1000, Jaccard ≈
+#: 10/58 ≈ 170 milli, i.e. the small-⊂-huge case band blocking misses.
+_QUOTE_WORDS = 12
+_QUOTE_MIN_WORDS = 60
+_QUOTE_DOC_MOD = 4
+
+_SHINGLE_HASH_EXPR = "cast(conv(substr(md5(x), 1, 8), 16, 10) as bigint)"
+_SHINGLE_HASH_SQL = "('0x' || substr(md5(x), 1, 8))::BIGINT"
+
+
+def _containment_pairs_from_words(
+    words: DataFrame, threshold_milli: int
+) -> DataFrame:
+    """Core of the containment op over a (doc_id, w) words relation.
+
+    Candidates = MinHash-LSH band pairs (the Jaccard-shaped blocking,
+    shared with :func:`jaccard_near_dup_pairs`) ∪ inverted-index pairs
+    (bottom-K shingle-hash probes against a df-capped shingle index —
+    the size-asymmetric blocking that catches small-⊂-huge quotes).
+    Both families are exactly verified on the deduped shingle arrays.
+
+    Scale shape: the index explodes every distinct shingle hash — the
+    same O(corpus tokens) row count as ngram_doc_frequency, shuffled
+    once on the hash with the df cap bounding every join fan-out to
+    MAX_SHINGLE_DF. That is the honest price of containment recall
+    (the reference point, Lee et al. 2022, pays a full suffix array).
     """
-    grams = (
-        _docs_words(spark, sf_dir)
-        .filter("size(w) >= 3")
-        .selectExpr("doc_id", f"array_distinct({_SHINGLES_EXPR}) as gs")
+    shingled = words.filter("size(w) >= 3")
+    grams = shingled.selectExpr(
+        "doc_id", f"array_distinct({_SHINGLES_EXPR}) as gs"
     )
-    all_bands = _all_bands(spark, sf_dir)
+    mh = [
+        f"array_min(transform(dg, d -> {_window_expr(k)})) as mh{k}"
+        for k in range(N_HASHES)
+    ]
+    sig = (
+        shingled.selectExpr("doc_id", f"{_SHINGLES_EXPR} as g")
+        .selectExpr("doc_id", f"{_DIGESTS_EXPR} as dg")
+        .selectExpr("doc_id", *mh)
+    )
+    all_bands = _bands_of(sig)
     ok_buckets = (
         all_bands.groupBy("band", "band_sig")
         .agg(F.count("*").alias("n_docs"))
@@ -317,13 +354,40 @@ def containment_near_dup_pairs(
         .select("band", "band_sig")
     )
     pruned = all_bands.join(F.broadcast(ok_buckets), ["band", "band_sig"])
-    cands = (
+    cands_lsh = (
         pruned.alias("a")
         .join(pruned.alias("b"), ["band", "band_sig"])
         .filter("a.doc_id < b.doc_id")
         .selectExpr("a.doc_id as doc_a", "b.doc_id as doc_b")
-        .distinct()
     )
+    hashed = grams.selectExpr(
+        "doc_id", f"transform(gs, x -> {_SHINGLE_HASH_EXPR}) as hs"
+    )
+    index = hashed.selectExpr("doc_id", "explode(hs) as h")
+    # df cap applied on the index side only: a frequent hash surviving
+    # on the probe side joins an empty index bucket, so the fan-out
+    # bound holds with one pruned side (and DuckDB mirrors exactly)
+    ok_h = (
+        index.groupBy("h")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= MAX_SHINGLE_DF)
+        .select("h")
+    )
+    idx_ok = index.join(ok_h, "h")
+    probe = hashed.selectExpr(
+        "doc_id",
+        f"explode(slice(array_sort(hs), 1, {CONTAINMENT_PROBE_K})) as h",
+    )
+    cands_ii = (
+        probe.alias("a")
+        .join(idx_ok.alias("b"), "h")
+        .filter("a.doc_id != b.doc_id")
+        .selectExpr(
+            "least(a.doc_id, b.doc_id) as doc_a",
+            "greatest(a.doc_id, b.doc_id) as doc_b",
+        )
+    )
+    cands = cands_lsh.unionByName(cands_ii).distinct()
     joined = (
         cands.join(grams.selectExpr("doc_id as doc_a", "gs as ga"), "doc_a")
         .join(grams.selectExpr("doc_id as doc_b", "gs as gb"), "doc_b")
@@ -340,25 +404,105 @@ def containment_near_dup_pairs(
     ).select("doc_a", "doc_b", "containment_milli")
 
 
-def containment_near_dup_pairs_sql(threshold_milli: int = 800) -> str:
+def containment_near_dup_pairs(
+    spark: SparkSession, sf_dir: str, threshold_milli: int = 800
+) -> DataFrame:
+    """Shingle-containment pairs: ``|A∩B| / min(|A|,|B|)`` ≥ threshold.
+
+    The asymmetric complement of :func:`jaccard_near_dup_pairs`: a
+    document fully quoted inside a 10× larger one has Jaccard ≈ 0.1 but
+    containment 1.0 — the subset/quote case a training-data dedup pass
+    must catch (cf. "Deduplicating Training Data Makes Language Models
+    Better", Lee et al. 2022, which dedups on substring containment).
+    Blocking is size-stratified since round 4: the shared MinHash-LSH
+    bands (Jaccard-shaped) PLUS a bottom-K shingle-hash inverted index
+    keyed on the smaller doc — see :func:`_containment_pairs_from_words`.
+    """
+    return _containment_pairs_from_words(
+        _docs_words(spark, sf_dir), threshold_milli
+    )
+
+
+def containment_near_dup_pairs_planted(
+    spark: SparkSession, sf_dir: str, threshold_milli: int = 800
+) -> DataFrame:
+    """Containment over the corpus UNIONed with deterministic quote
+    twins (id = -(doc_id+1), text = the doc's first _QUOTE_WORDS
+    words). The raw corpus holds no true small-⊂-huge inclusions, so
+    the planted family gives the driver's verify path REAL quote pairs
+    at containment exactly 1000 that the Jaccard-band blocking alone
+    misses (quote Jaccard ≈ 170 milli) — proving the inverted-index
+    blocking end-to-end against the DuckDB re-derivation. Bench still
+    times the raw op."""
+    docs = _docs_words(spark, sf_dir)
+    quotes = docs.filter(
+        f"size(w) >= {_QUOTE_MIN_WORDS} and doc_id % {_QUOTE_DOC_MOD} = 0"
+    ).selectExpr(
+        "-(doc_id + 1) as doc_id", f"slice(w, 1, {_QUOTE_WORDS}) as w"
+    )
+    return _containment_pairs_from_words(
+        docs.unionByName(quotes), threshold_milli
+    )
+
+
+_WORDS_SQL = "regexp_split_to_array(trim(lower(text)), '\\s+')"
+_T_RAW_SQL = f"SELECT doc_id, {_WORDS_SQL} AS w FROM documents"
+
+
+def _containment_sql(t_body: str, threshold_milli: int) -> str:
     cont = (
         "CAST(floor(1000.0 * len(list_intersect(ga.gs, gb.gs)) /"
         " greatest(least(len(ga.gs), len(gb.gs)), 1)) AS BIGINT)"
     )
+    mh_list = ", ".join(
+        f"list_aggregate(list_transform(dg, d -> {_window_sql(k)}), 'min') AS mh{k}"
+        for k in range(N_HASHES)
+    )
     return (
-        f"WITH {_SIG_SQL_BODY},\n"
+        f"WITH t AS ({t_body}),\n"
+        f"s AS (SELECT doc_id, {_SHINGLES_SQL} AS g FROM t),\n"
         "gr AS (SELECT doc_id, list_distinct(g) AS gs FROM s WHERE len(g) > 0),\n"
+        f"dgs AS (SELECT doc_id, {_DIGESTS_SQL} AS dg FROM s WHERE len(g) > 0),\n"
+        f"sig AS (SELECT doc_id, {mh_list} FROM dgs),\n"
         "bands AS (" + _band_sql_selects() + "),\n"
         "ok AS (SELECT band, band_sig FROM bands GROUP BY band, band_sig"
         f" HAVING count(*) <= {MAX_BUCKET_DOCS}),\n"
         "pruned AS (SELECT bands.* FROM bands JOIN ok USING (band, band_sig)),\n"
-        "cands AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b\n"
+        "cands_lsh AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b\n"
         "          FROM pruned a JOIN pruned b ON a.band_sig = b.band_sig"
-        " AND a.band = b.band AND a.doc_id < b.doc_id)\n"
+        " AND a.band = b.band AND a.doc_id < b.doc_id),\n"
+        "hs AS (SELECT doc_id,"
+        f" list_transform(gs, x -> {_SHINGLE_HASH_SQL}) AS hs FROM gr),\n"
+        "idx AS (SELECT doc_id, unnest(hs) AS h FROM hs),\n"
+        f"dfok AS (SELECT h FROM idx GROUP BY h HAVING count(*) <= {MAX_SHINGLE_DF}),\n"
+        "idxok AS (SELECT idx.* FROM idx JOIN dfok USING (h)),\n"
+        "probe AS (SELECT doc_id,"
+        f" unnest(list_slice(list_sort(hs), 1, {CONTAINMENT_PROBE_K})) AS h FROM hs),\n"
+        "cands_ii AS (SELECT least(a.doc_id, b.doc_id) AS doc_a,"
+        " greatest(a.doc_id, b.doc_id) AS doc_b\n"
+        "          FROM probe a JOIN idxok b USING (h)"
+        " WHERE a.doc_id != b.doc_id),\n"
+        "cands AS (SELECT doc_a, doc_b FROM cands_lsh"
+        " UNION SELECT doc_a, doc_b FROM cands_ii)\n"
         f"SELECT doc_a, doc_b, {cont} AS containment_milli\n"
         "FROM cands JOIN gr ga ON ga.doc_id = doc_a JOIN gr gb ON gb.doc_id = doc_b\n"
         f"WHERE {cont} >= {threshold_milli}"
     )
+
+
+def containment_near_dup_pairs_sql(threshold_milli: int = 800) -> str:
+    return _containment_sql(_T_RAW_SQL, threshold_milli)
+
+
+def containment_near_dup_pairs_planted_sql(threshold_milli: int = 800) -> str:
+    t = (
+        _T_RAW_SQL
+        + f" UNION ALL SELECT -(doc_id + 1),"
+        f" list_slice({_WORDS_SQL}, 1, {_QUOTE_WORDS}) FROM documents"
+        f" WHERE len({_WORDS_SQL}) >= {_QUOTE_MIN_WORDS}"
+        f" AND doc_id % {_QUOTE_DOC_MOD} = 0"
+    )
+    return _containment_sql(t, threshold_milli)
 
 
 # ---------------------------------------------------------------------------
@@ -665,7 +809,37 @@ def _checkpoint(df: DataFrame, eager: bool) -> DataFrame:
         has_dir = sc.getCheckpointDir() is not None
     except Exception:
         has_dir = False
-    return df.checkpoint(eager=eager) if has_dir else df.localCheckpoint(eager=eager)
+    if not has_dir:
+        return df.localCheckpoint(eager=eager)
+    # Reliable checkpointing recomputes the full lineage in a SECOND
+    # pass after the first action unless the data is already cached
+    # (round-3 ADVICE) — persist first so the cluster branch keeps the
+    # one-job-per-round property, then drop the cache once the
+    # checkpoint files exist. For eager=False the unpersist must wait
+    # for the caller's materializing action, so the lazy branch keeps
+    # the persist alive (bounded: one RDD per propagation round, and
+    # Spark evicts LRU under memory pressure).
+    if eager:
+        df = df.persist()
+        out = df.checkpoint(eager=True)
+        df.unpersist()
+        return out
+    persisted = df.persist()
+    out = persisted.checkpoint(eager=False)
+    # the caller's materializing action both computes the cache and
+    # writes the checkpoint files; it then releases the cache via
+    # _release_checkpoint_cache (safe: later reads hit the files)
+    out._ddspark_persisted_src = persisted
+    return out
+
+
+def _release_checkpoint_cache(df: DataFrame) -> None:
+    src = getattr(df, "_ddspark_persisted_src", None)
+    if src is not None:
+        try:
+            src.unpersist()
+        except Exception:
+            pass
 
 
 def _label_components(pairs: DataFrame, max_iterations: int = 1000) -> DataFrame:
@@ -713,6 +887,7 @@ def _label_components(pairs: DataFrame, max_iterations: int = 1000) -> DataFrame
             eager=False,  # materialized BY the count below: one job/round
         )
         n_changed = improved.filter("new_component != component").count()
+        _release_checkpoint_cache(improved)
         labels = improved.selectExpr("doc_id", "new_component as component")
         if n_changed == 0:
             return labels

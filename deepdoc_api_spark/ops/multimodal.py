@@ -223,6 +223,7 @@ def sample_frames(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib as _hashlib
+        import math as _math
 
         for pdf in batches:
             rows = []
@@ -237,8 +238,15 @@ def sample_frames(
                 duration_ms = 1000 + int.from_bytes(h[:2], "big") * 2
                 for idx, ts in enumerate(frame_timestamps_ms(duration_ms, every_ms)):
                     fh = _hashlib.md5(h + ts.to_bytes(8, "big")).digest()
+                    # floor-micro like decode_media (round-3 ADVICE):
+                    # one derivation contract for every stub feature,
+                    # DuckDB-re-derivable if frame features are ever
+                    # value-checked (round() banker's-rounds)
                     feat = [
-                        round((fh[i % len(fh)] - 128) / 128.0, 6)
+                        _math.floor(
+                            (fh[i % len(fh)] - 128) / 128.0 * 1000000.0
+                        )
+                        / 1000000.0
                         for i in range(FEATURE_DIM)
                     ]
                     rows.append((doc_id, ref, idx, ts, feat))

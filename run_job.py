@@ -60,12 +60,18 @@ def main() -> None:
 
     from deepdoc_api_spark.job.checkpoint import progress_df, run_checkpointed
     from deepdoc_api_spark.job.pipeline import spans_from_documents
-    from deepdoc_api_spark.job.session import get_spark, ship_package
+    from deepdoc_api_spark.job.session import (
+        KERNEL_SPLIT_BYTES,
+        get_spark,
+        ship_package,
+    )
 
     # under spark-submit a session/conf already exists; standalone we
     # build a tuned one
     active = SparkSession.getActiveSession()
-    spark = active if active is not None else get_spark(app_name="deepdoc-chunk-job")
+    spark = active if active is not None else get_spark(
+        app_name="deepdoc-chunk-job", kernel_split_bytes=KERNEL_SPLIT_BYTES
+    )
     ship_package(spark)
 
     if args.status:

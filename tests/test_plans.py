@@ -319,10 +319,11 @@ def test_ivf_topk_shape_and_recall(spark, sf_dir):
 
 
 def test_containment_catches_subset_jaccard_misses(spark, sf_dir):
-    """The containment metric must exceed Jaccard on every pair (by
-    definition |A∩B|/min <= |A∩B|/|A∪B| is false — min <= union), and
-    the default thresholds are set so containment reports quote/subset
-    pairs the Jaccard list misses."""
+    """The containment metric must exceed Jaccard on every shared pair
+    (|A∩B|/min ≥ |A∩B|/|A∪B| since min ≤ union), and since round 4 the
+    containment candidate set is a strict SUPERSET of the Jaccard one:
+    the LSH bands are shared, and the inverted-index family adds the
+    size-asymmetric candidates band blocking cannot see."""
     from deepdoc_api_spark.ops import dedup
 
     jac = {
@@ -333,9 +334,45 @@ def test_containment_catches_subset_jaccard_misses(spark, sf_dir):
         (r.doc_a, r.doc_b): r.containment_milli
         for r in dedup.containment_near_dup_pairs(spark, sf_dir, 0).collect()
     }
-    assert set(jac) == set(cont), "same LSH candidate set must drive both"
-    for pair, c in cont.items():
-        assert c >= jac[pair], f"containment < jaccard for {pair}"
+    assert set(jac) <= set(cont), "LSH band candidates must all be kept"
+    for pair, j in jac.items():
+        assert cont[pair] >= j, f"containment < jaccard for {pair}"
+
+
+def test_containment_planted_quotes_all_found(spark, sf_dir):
+    """Every planted quote twin (-(doc_id+1), first 12 words of a
+    ≥60-word doc with doc_id % 4 == 0) must appear as a containment-
+    1000 pair with its source — the small-⊂-huge case the Jaccard-band
+    blocking misses (quote Jaccard ≈ 170 milli < the 500 threshold),
+    found only via the bottom-K inverted-index probes."""
+    from deepdoc_api_spark.ops import dedup
+    from deepdoc_api_spark.ops.dedup import (
+        _QUOTE_DOC_MOD,
+        _QUOTE_MIN_WORDS,
+    )
+
+    expected = {
+        (-(r.doc_id + 1), r.doc_id)
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .selectExpr("doc_id", "size(split(trim(lower(text)), '\\\\s+')) as nw")
+        .filter(f"nw >= {_QUOTE_MIN_WORDS} and doc_id % {_QUOTE_DOC_MOD} = 0")
+        .collect()
+    }
+    assert expected, "fixture must contain planted-eligible docs"
+    found = {
+        (r.doc_a, r.doc_b): r.containment_milli
+        for r in dedup.containment_near_dup_pairs_planted(spark, sf_dir).collect()
+    }
+    missing = expected - set(found)
+    assert not missing, f"planted quote pairs not found: {sorted(missing)[:5]}"
+    for pair in expected:
+        assert found[pair] == 1000, f"quote pair {pair} not full containment"
+    # and the Jaccard-band blocking alone genuinely misses these pairs
+    jac = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.jaccard_near_dup_pairs(spark, sf_dir).collect()
+    }
+    assert not (expected & jac)
 
 
 def test_new_round3_ops_plan_shapes(spark, sf_dir):

@@ -172,7 +172,10 @@ def test_invalid_pattern_raises_driver_side(spark, sf_dir):
 
 
 @pytest.mark.parametrize(
-    "name", ["extract_chunks_hybrid", "media_features", "chunks_with_embeddings"]
+    "name",
+    # media_features was consolidated into its value-exact flat twin in
+    # round 4 (queries() holds exactly 50 entries, oracle-first)
+    ["extract_chunks_hybrid", "media_features_flat", "chunks_with_embeddings"],
 )
 def test_driver_canonicalizer_compat(spark, sf_dir, name):
     import __spark_entry__ as entry_mod
