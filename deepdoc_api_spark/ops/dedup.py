@@ -334,15 +334,28 @@ def _containment_pairs_from_words(
     (the reference point, Lee et al. 2022, pays a full suffix array).
     """
     shingled = words.filter("size(w) >= 3")
-    grams = shingled.selectExpr(
-        "doc_id", f"array_distinct({_SHINGLES_EXPR}) as gs"
+    # The per-doc shingle sketch feeds FIVE plan branches (index df-cap,
+    # index join, probe, and both verify fetches); without truncation
+    # each branch re-runs the corpus scan + shingling + md5 hashing —
+    # measured 11.4 s of a 14 s op at sf0.1. One eager checkpoint
+    # materializes the sketch once (localCheckpoint single-node,
+    # reliable files on a cluster via the session checkpoint dir); at
+    # corpus scale this is the difference between 1 and 5 full scans.
+    grams = _checkpoint(
+        shingled.selectExpr(
+            "doc_id", f"array_distinct({_SHINGLES_EXPR}) as gs"
+        ),
+        eager=True,
     )
     mh = [
         f"array_min(transform(dg, d -> {_window_expr(k)})) as mh{k}"
         for k in range(N_HASHES)
     ]
+    # minhash minima are invariant under array_distinct, so the sig
+    # branch can reuse the checkpointed sketch instead of re-scanning
+    # (the DuckDB oracle hashes the non-distinct list — same minima)
     sig = (
-        shingled.selectExpr("doc_id", f"{_SHINGLES_EXPR} as g")
+        grams.selectExpr("doc_id", "gs as g")
         .selectExpr("doc_id", f"{_DIGESTS_EXPR} as dg")
         .selectExpr("doc_id", *mh)
     )
