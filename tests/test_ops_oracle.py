@@ -78,13 +78,27 @@ def test_rows_only_queries_run(spark, sf_dir):
             "chunk_stats_per_doc",
             "span_kind_histogram",
             "media_features",
-            "media_kind_histogram",
             "extract_chunks_toc",
         )
     ]
     for k in spot:
         n = qs[k](spark, sf_dir).count()
         assert n >= 0, k
+
+
+def test_media_kind_histogram_pinned(spark, sf_dir):
+    """media_kind_histogram left queries() in round 4 (replaced by the
+    oracle-bearing iceberg_dry_run; its value-exact flat twins stay);
+    this keeps the raw-corpus op itself executed and shape-checked."""
+    from deepdoc_api_spark.ops.multimodal import media_kind_histogram
+
+    rows = media_kind_histogram(
+        entry_mod._spans_cached(spark, sf_dir)
+    ).collect()
+    assert rows, "empty media histogram"
+    kinds = {r.media_kind for r in rows}
+    assert kinds <= {"image", "audio", "video", "table", "unknown"}, kinds
+    assert all(r.n_media > 0 for r in rows)
 
 
 def test_mineru_flat_mixed_exercises_type_matrix(spark, sf_dir):
