@@ -42,13 +42,71 @@ def hierarchical_elements(
     ``merge_list_items=True`` default behavior). ``media`` records pass
     through as their own elements.
 
-    Element: ``{"kind","text","media_ref","pages","headings"}``.
+    **Caption attachment (G7, docling fidelity).** In docling's IR a
+    caption is a TextItem referenced from a Table/Picture's
+    ``captions`` list; the HierarchicalChunker does not emit caption
+    items as their own chunks — they ride on the parent item's
+    ``DocMeta.captions`` and ``contextualize()`` serializes
+    headings + captions + body (docling-core
+    ``chunking/hierarchical_chunker.py``; docs: "Concepts > Chunking").
+    In this flat record stream the reference link is adjacency: a
+    ``caption`` record attaches FORWARD to an immediately-following
+    ``table``/``media`` record (MinerU caption-above-table order), else
+    BACKWARD to an immediately-preceding table/media element under the
+    same heading stack (figure caption below the image), else degrades
+    to a plain ``text`` element. The current span corpus never emits
+    ``caption`` spans (S4 passes title/text/list/table/media), so this
+    path is golden-spec'd (tests/test_k1_golden.py G7) for a future
+    docling differential rather than exercised by the driver queries.
+
+    Element: ``{"kind","text","media_ref","pages","headings",
+    "captions","_cap_tok"}``.
     """
     stack: List[str] = []
     elements: List[Dict] = []
+    pending_captions: List[Dict] = []
+
+    def _attach_back(cap: Dict) -> bool:
+        if (
+            elements
+            and elements[-1]["kind"] in ("table", "media")
+            and elements[-1]["headings"] == stack
+        ):
+            elements[-1]["captions"].append(cap["content"])
+            elements[-1]["_cap_tok"] += count_tokens(cap["content"])
+            if cap["page"] not in elements[-1]["pages"]:
+                elements[-1]["pages"].append(cap["page"])
+            return True
+        return False
+
+    def _flush_pending() -> None:
+        # pending captions whose next record turned out not to be a
+        # table/media: fall back (docling: an unreferenced caption item
+        # is just text)
+        for cap in pending_captions:
+            if not _attach_back(cap):
+                elements.append(
+                    {
+                        "kind": "text",
+                        "text": cap["content"],
+                        "media_ref": cap["media_ref"],
+                        "pages": [cap["page"]],
+                        "headings": list(stack),
+                        "captions": [],
+                        "_cap_tok": 0,
+                        "bbox": cap.get("bbox"),
+                        "_tok": count_tokens(cap["content"]),
+                    }
+                )
+        pending_captions.clear()
+
     for rec in records:
         kind = rec["kind"]
+        if kind == "caption":
+            pending_captions.append(rec)
+            continue
         if kind == "title":
+            _flush_pending()
             level = _title_level(rec["content"], pattern)
             stack = stack[: level - 1]
             stack.append(rec["content"])
@@ -56,6 +114,7 @@ def hierarchical_elements(
         if (
             kind == "list"
             and elements
+            and not pending_captions
             and elements[-1]["kind"] == "list"
             and elements[-1]["headings"] == stack
         ):
@@ -67,6 +126,15 @@ def hierarchical_elements(
             if rec["page"] not in prev["pages"]:
                 prev["pages"].append(rec["page"])
             continue
+        captions: List[str] = []
+        cap_tok = 0
+        if pending_captions:
+            if kind in ("table", "media"):
+                captions = [c["content"] for c in pending_captions]
+                cap_tok = sum(count_tokens(c["content"]) for c in pending_captions)
+                pending_captions.clear()
+            else:
+                _flush_pending()
         elements.append(
             {
                 "kind": kind,
@@ -74,6 +142,8 @@ def hierarchical_elements(
                 "media_ref": rec["media_ref"],
                 "pages": [rec["page"]],
                 "headings": list(stack),
+                "captions": captions,
+                "_cap_tok": cap_tok,
                 # O9: element keeps the FIRST record's bbox; merges below
                 # never overwrite it (reference: first provenance item,
                 # app/processing.py:1158-1166)
@@ -81,12 +151,18 @@ def hierarchical_elements(
                 "_tok": count_tokens(rec["content"]) if kind != "media" else 0,
             }
         )
+    _flush_pending()
     return elements
 
 
-def contextualize(headings: List[str], text: str) -> str:
-    """docling-style contextualization: headings then body, newline-joined."""
+def contextualize(
+    headings: List[str], text: str, captions: List[str] = ()
+) -> str:
+    """docling-style contextualization: headings, then attached captions,
+    then body, newline-joined (docling-core ``BaseChunker.contextualize``
+    serializes ``meta.headings + meta.captions + chunk.text``)."""
     parts = [h for h in headings if h]
+    parts.extend(captions)
     parts.append(text)
     return "\n".join(parts)
 
@@ -98,9 +174,14 @@ def hierarchical_chunks(
     chunks: List[Dict] = []
     for el in hierarchical_elements(records, pattern):
         if el["kind"] == "media":
+            # captioned media (G7): the caption is the picture's only
+            # serializable content — headings + captions; uncaptioned
+            # media keeps the empty-text zero-cost contract (G6)
+            cap = el["captions"]
+            text = "\n".join([h for h in el["headings"] if h] + cap) if cap else ""
             chunks.append(
                 {
-                    "text": "",
+                    "text": text,
                     "headings": el["headings"],
                     "hierarchy": None,
                     "pages": el["pages"],
@@ -112,7 +193,7 @@ def hierarchical_chunks(
             continue
         chunks.append(
             {
-                "text": contextualize(el["headings"], el["text"]),
+                "text": contextualize(el["headings"], el["text"], el["captions"]),
                 "headings": el["headings"],
                 "hierarchy": None,
                 "pages": el["pages"],
@@ -212,8 +293,13 @@ def hybrid_chunks(
         if el["kind"] == "media":
             split_elements.append(el)
         else:
+            # captions are context like headings: charged to the budget
+            # and repeated on every split piece (docling serializes
+            # headings + captions + body)
             split_elements.extend(
-                _split_oversized(el, budget, ctx_tok(el["headings"]))
+                _split_oversized(
+                    el, budget, ctx_tok(el["headings"]) + el["_cap_tok"]
+                )
             )
 
     merged: List[Dict] = []
@@ -223,9 +309,13 @@ def hybrid_chunks(
             and el["kind"] != "media"
             and merged[-1]["kind"] == el["kind"]
             and merged[-1]["headings"] == el["headings"]
+            and merged[-1]["captions"] == el["captions"]
         ):
             prev = merged[-1]
-            if ctx_tok(el["headings"]) + prev["_tok"] + el["_tok"] <= budget:
+            if (
+                ctx_tok(el["headings"]) + el["_cap_tok"]
+                + prev["_tok"] + el["_tok"]
+            ) <= budget:
                 prev["text"] = prev["text"] + "\n" + el["text"]
                 prev["_tok"] += el["_tok"]
                 for p in el["pages"]:
@@ -239,9 +329,11 @@ def hybrid_chunks(
     chunks: List[Dict] = []
     for el in merged:
         if el["kind"] == "media":
+            cap = el["captions"]
+            text = "\n".join([h for h in el["headings"] if h] + cap) if cap else ""
             chunks.append(
                 {
-                    "text": "",
+                    "text": text,
                     "headings": el["headings"],
                     "hierarchy": None,
                     "pages": el["pages"],
@@ -253,7 +345,7 @@ def hybrid_chunks(
         else:
             chunks.append(
                 {
-                    "text": contextualize(el["headings"], el["text"]),
+                    "text": contextualize(el["headings"], el["text"], el["captions"]),
                     "headings": el["headings"],
                     "hierarchy": None,
                     "pages": el["pages"],

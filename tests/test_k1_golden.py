@@ -157,3 +157,145 @@ def test_g6_picture_items_pass_through_and_break_merges():
         ("media", "", "m://2"),
         ("table", "Head\n<t>x</t>", ""),
     ]
+
+
+def test_g7_caption_attachment():
+    """G7 (round-4 expansion): docling never emits caption items as
+    their own chunks — a caption rides on its Table/Picture item's
+    ``meta.captions`` and ``contextualize()`` serializes headings +
+    captions + body (docling-core chunking/hierarchical_chunker.py;
+    docs: Concepts > Chunking). Flat-stream spec: captions attach
+    FORWARD to an immediately-following table/media record, else
+    BACKWARD to an immediately-preceding table/media element under the
+    same headings, else degrade to plain text. Caption tokens charge
+    the K1 budget like heading context and repeat on split pieces."""
+    # forward attach: caption above the table (MinerU order)
+    chunks = hybrid_chunks(
+        [
+            rec("title", "Head"),
+            rec("caption", "Table 1: stats"),
+            rec("table", "<table>r1</table>"),
+        ],
+        budget=512,
+    )
+    assert [(c["kind"], c["text"]) for c in chunks] == [
+        ("table", "Head\nTable 1: stats\n<table>r1</table>")
+    ]
+
+    # backward attach: figure caption below the image; the media chunk
+    # serializes headings + caption (its only textual content)
+    chunks = hybrid_chunks(
+        [
+            rec("title", "Head"),
+            rec("media", "", media_ref="m://1"),
+            rec("caption", "Figure 1: a duck"),
+            rec("text", "after"),
+        ],
+        budget=512,
+    )
+    assert [(c["kind"], c["text"], c["media_ref"]) for c in chunks] == [
+        ("media", "Head\nFigure 1: a duck", "m://1"),
+        ("text", "Head\nafter", ""),
+    ]
+
+    # orphan caption (no adjacent table/media) degrades to text and
+    # peer-merges like any text element
+    chunks = hybrid_chunks(
+        [rec("title", "Head"), rec("caption", "dangling"), rec("text", "body")],
+        budget=512,
+    )
+    assert [(c["kind"], c["text"]) for c in chunks] == [
+        ("text", "Head\ndangling\nbody")
+    ]
+
+    # caption tokens charge the budget like heading context: ctx =
+    # Head(1) + caption(3) = 4, body 40; budget 43 -> avail 39 < 40 ->
+    # split. Were captions free, avail would be 42 >= 40 -> no split.
+    capt = "cap one two"  # 3 tokens
+    body = " ".join(f"t{i}" for i in range(40))  # 40 tokens
+    chunks = hybrid_chunks(
+        [rec("title", "Head"), rec("caption", capt), rec("table", body)],
+        budget=43,
+    )
+    assert len(chunks) == 2, "caption tokens were not charged to the budget"
+    for ch in chunks:
+        head, cap_line = ch["text"].split("\n")[:2]
+        assert (head, cap_line) == ("Head", capt), "piece lost its caption"
+
+    # same-heading tables with DIFFERENT captions do not merge
+    chunks = hybrid_chunks(
+        [
+            rec("title", "Head"),
+            rec("caption", "Table 1"),
+            rec("table", "<t>a</t>"),
+            rec("caption", "Table 2"),
+            rec("table", "<t>b</t>"),
+        ],
+        budget=512,
+    )
+    assert [c["text"] for c in chunks] == [
+        "Head\nTable 1\n<t>a</t>",
+        "Head\nTable 2\n<t>b</t>",
+    ]
+
+
+def test_g7_k2_caption_attachment():
+    from deepdoc_api_spark.kernels.chunkers import hierarchical_chunks
+
+    k2 = hierarchical_chunks(
+        [
+            rec("title", "Head"),
+            rec("caption", "Table 1: stats"),
+            rec("table", "<t>x</t>"),
+            rec("media", "", media_ref="m://9"),
+            rec("caption", "Fig 1"),
+        ]
+    )
+    assert [(c["kind"], c["text"]) for c in k2] == [
+        ("table", "Head\nTable 1: stats\n<t>x</t>"),
+        ("media", "Head\nFig 1"),
+    ]
+
+
+def test_g8_nested_list_merge_under_budget():
+    """G8 (round-4 expansion): docling's ``merge_list_items=True``
+    merges consecutive list items — nested sub-items included — into
+    ONE element in document order (docling-core
+    chunking/hierarchical_chunker.py); under HybridChunker the merged
+    list is then budget-split as a unit, each piece re-carrying the
+    heading context, body re-whitespaced per the G3 oversized-split
+    rule (indentation does not survive a split; it DOES survive an
+    unsplit merge)."""
+    items = ["- alpha", "  - alpha.1", "  - alpha.2", "- beta"]
+    recs = [rec("title", "Head")] + [rec("list", i) for i in items]
+
+    # fits the budget: one list chunk, nesting whitespace preserved
+    chunks = hybrid_chunks(recs, budget=512)
+    assert [(c["kind"], c["text"]) for c in chunks] == [
+        ("list", "Head\n" + "\n".join(items))
+    ]
+
+    # a list item under a DIFFERENT heading starts a new element
+    recs2 = recs + [rec("title", "Other"), rec("list", "- gamma")]
+    chunks = hybrid_chunks(recs2, budget=512)
+    assert [c["text"] for c in chunks] == [
+        "Head\n" + "\n".join(items),
+        "Other\n- gamma",
+    ]
+
+    # merged list exceeding the budget splits as ONE unit on word
+    # boundaries: kind stays 'list', heading repeats, pieces fit
+    big = [f"- item{i} body{i}" for i in range(20)]  # 60 tokens merged
+    chunks = hybrid_chunks(
+        [rec("title", "Head")] + [rec("list", i) for i in big], budget=41
+    )
+    assert len(chunks) == 2  # avail 40/piece -> 40/20
+    for ch in chunks:
+        assert ch["kind"] == "list"
+        head, _, body = ch["text"].partition("\n")
+        assert head == "Head"
+        assert len(body.split(" ")) <= 40
+    rejoined = " ".join(
+        ch["text"].partition("\n")[2] for ch in chunks
+    )
+    assert rejoined == " ".join(" ".join(big).split())
