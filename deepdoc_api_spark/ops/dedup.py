@@ -379,14 +379,23 @@ def _containment_pairs_from_words(
     index = hashed.selectExpr("doc_id", "explode(hs) as h")
     # df cap applied on the index side only: a frequent hash surviving
     # on the probe side joins an empty index bucket, so the fan-out
-    # bound holds with one pruned side (and DuckDB mirrors exactly)
-    ok_h = (
+    # bound holds with one pruned side (and DuckDB mirrors exactly).
+    # Pruning is an ANTI-join against the FREQUENT hashes (round 4):
+    # almost every hash is rare, so joining the full index against the
+    # ok-set shuffles O(corpus tokens) on both sides — whereas at most
+    # total_shingles / MAX_SHINGLE_DF distinct hashes can exceed the
+    # cap, a relation 64×+ smaller that AQE turns into a broadcast
+    # anti-join at any realistic scale (left explicitly to AQE, not
+    # F.broadcast: at extreme corpus sizes even this side may outgrow
+    # a broadcast, and a shuffled anti-join is still strictly cheaper
+    # than the ok-side equi-join it replaces).
+    bad_h = (
         index.groupBy("h")
         .agg(F.count("*").alias("df"))
-        .filter(F.col("df") <= MAX_SHINGLE_DF)
+        .filter(F.col("df") > MAX_SHINGLE_DF)
         .select("h")
     )
-    idx_ok = index.join(ok_h, "h")
+    idx_ok = index.join(bad_h, "h", "left_anti")
     probe = hashed.selectExpr(
         "doc_id",
         f"explode(slice(array_sort(hs), 1, {CONTAINMENT_PROBE_K})) as h",
