@@ -609,3 +609,101 @@ SELECT source, n_docs::BIGINT AS n_docs, n_chars::BIGINT AS n_chars,
        (floor(1000.0 * n_docs / total_docs) > 200) AS dominant
 FROM per, t
 """
+
+
+# ---------------------------------------------------------------------------
+# eval-set decontamination (n-gram collision against a benchmark set)
+# ---------------------------------------------------------------------------
+
+#: decontamination n-gram width. The published practice this models:
+#: GPT-3 removed training docs with a 13-gram collision against eval
+#: sets; PaLM/Llama use 8-10 word n-grams. 8 keeps every eval item
+#: (20 words -> 13 grams) productive on the synthetic corpus.
+DECONTAM_N = 8
+#: eval items = the first DECONTAM_EVAL_WORDS words of every doc with
+#: doc_id % DECONTAM_EVAL_MOD == 1 — a deterministic stand-in benchmark
+#: set (at production scale this relation is the real eval suite,
+#: always tiny next to the corpus). The source docs are contaminated by
+#: construction, giving the verify path guaranteed true positives.
+DECONTAM_EVAL_WORDS = 20
+DECONTAM_EVAL_MOD = 16
+#: flag threshold: >= this many distinct colliding n-grams. 1 matches
+#: the GPT-3 rule; 3 is kept so the output distinguishes hard hits
+#: from single-collision near-misses (both are returned).
+DECONTAM_FLAG_MIN = 3
+
+
+def _ngrams_expr(n: int) -> str:
+    joined = ", ".join(f"element_at(w, i + {k})" for k in range(n))
+    return (
+        f"case when size(w) >= {n} then "
+        f"transform(sequence(1, size(w) - {n - 1}), i -> concat_ws(' ', {joined})) "
+        "else array() end"
+    )
+
+
+def eval_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-corpus decontamination: docs sharing word {8}-grams with
+    the eval set, with the distinct-collision count and the flag.
+
+    Scale shape: the eval set's distinct n-grams are a benchmark-sized
+    relation (thousands of rows at any corpus scale), so the collision
+    join is an eval-side broadcast hash join executed MAP-SIDE over the
+    exploded training grams — the only rows that ever reach a shuffle
+    are actual collisions (groupBy doc_id on the match set). No
+    O(corpus-tokens) shuffle exists in the plan; the explode itself is
+    the same single-pass width as ngram_doc_frequency.
+    """
+    docs = spark.read.parquet(
+        f"{sf_dir.rstrip('/')}/documents.parquet"
+    ).repartition(spark.sparkContext.defaultParallelism * 2, "doc_id")
+    words = docs.selectExpr(
+        "doc_id", "split(trim(lower(text)), '\\\\s+') as w"
+    )
+    eval_grams = (
+        words.filter(f"doc_id % {DECONTAM_EVAL_MOD} = 1")
+        .selectExpr(f"slice(w, 1, {DECONTAM_EVAL_WORDS}) as w")
+        .selectExpr(f"explode({_ngrams_expr(DECONTAM_N)}) as g")
+        .distinct()
+    )
+    train_grams = words.selectExpr(
+        "doc_id", f"explode(array_distinct({_ngrams_expr(DECONTAM_N)})) as g"
+    )
+    return (
+        train_grams.join(F.broadcast(eval_grams), "g")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("m"))
+        .selectExpr(
+            "doc_id",
+            "cast(m as bigint) as matched_ngrams",
+            f"cast(m >= {DECONTAM_FLAG_MIN} as boolean) as contaminated",
+        )
+    )
+
+
+def eval_decontamination_sql() -> str:
+    n = DECONTAM_N
+    joined = " || ' ' || ".join(f"w[i + {k}]" for k in range(n))
+    grams = (
+        f"CASE WHEN len(w) >= {n} THEN "
+        f"list_transform(range(1, len(w) - {n - 1} + 1), i -> {joined}) "
+        "ELSE [] END"
+    )
+    return f"""
+WITH words AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS w
+  FROM documents
+),
+eval_grams AS (
+  SELECT DISTINCT unnest({grams}) AS g
+  FROM (SELECT list_slice(w, 1, {DECONTAM_EVAL_WORDS}) AS w FROM words
+        WHERE doc_id % {DECONTAM_EVAL_MOD} = 1)
+),
+train_grams AS (
+  SELECT doc_id, unnest(list_distinct({grams})) AS g FROM words
+)
+SELECT doc_id, count(*)::BIGINT AS matched_ngrams,
+       (count(*) >= {DECONTAM_FLAG_MIN}) AS contaminated
+FROM train_grams JOIN eval_grams USING (g)
+GROUP BY doc_id
+"""

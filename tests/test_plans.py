@@ -419,3 +419,20 @@ def test_ivf_assign_has_no_window_and_no_fanout(spark, sf_dir):
     # instead of twice under the broadcast consumers
     gens = re.findall(r"^\(\d+\) Generate\b", plan, re.M)
     assert len(gens) <= 1, "unexpected Generate beyond the probe slice"
+
+
+def test_decontamination_collision_join_is_broadcast(spark, sf_dir):
+    """eval_decontamination's collision join must be an eval-side
+    broadcast hash join (map-side over the exploded train grams, only
+    collisions reach the groupBy shuffle) — never a sort-merge join
+    shuffling O(corpus tokens)."""
+    from deepdoc_api_spark.ops.text_analysis import eval_decontamination
+
+    plan = (
+        eval_decontamination(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

@@ -180,7 +180,16 @@ def test_invalid_pattern_raises_driver_side(spark, sf_dir):
 def test_driver_canonicalizer_compat(spark, sf_dir, name):
     import __spark_entry__ as entry_mod
 
-    df = entry_mod.queries()[name](spark, sf_dir)
+    # chunks_with_embeddings left queries() in round 4 (replaced by the
+    # oracle-bearing eval_decontamination; its value-exact flat twin
+    # embeddings_flat_checksums stays) — keep its canonicalizer-compat
+    # projection pinned here by calling the query fn directly
+    fn = (
+        entry_mod._q_chunks_with_embeddings
+        if name == "chunks_with_embeddings"
+        else entry_mod.queries()[name]
+    )
+    df = fn(spark, sf_dir)
     pdf = df.limit(200).toPandas()
     assert len(pdf) > 0
     # the driver's _canon: lexicographic sort over every column — crashes
