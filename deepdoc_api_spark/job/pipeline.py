@@ -110,16 +110,23 @@ def spans_parquet_cached(
     materialization instead of one persist per session, and each query
     gets a pruned columnar scan instead of a memory-pinned full-row
     cache. The cache key hashes the generator SOURCE (datagen.py
-    bytes), so editing the corpus logic invalidates stale cache dirs
+    bytes) AND the input data's identity (file list + sizes + mtimes of
+    documents.parquet), so editing the corpus logic OR regenerating the
+    source table at the same path invalidates stale cache dirs
     automatically. Writers race safely: the corpus is written to a
-    unique tmp dir and atomically renamed into place; the loser of the
-    rename discards its tmp and reads the winner's output (identical —
-    the corpus is deterministic).
+    unique tmp dir and atomically renamed into place (dir existence ==
+    completion — no reliance on Spark's _SUCCESS marker, which a user
+    conf can disable); the loser of the rename discards its tmp and
+    reads the winner's output (identical — the corpus is
+    deterministic). New generations evict superseded ones for the same
+    (source, replicate), and orphaned tmp dirs older than an hour are
+    swept, so the shared cache stays bounded across sessions.
     """
     import hashlib
     import os
     import shutil
     import tempfile
+    import time
     import uuid
 
     import deepdoc_api_spark.datagen as datagen
@@ -128,21 +135,48 @@ def spans_parquet_cached(
         gen_ver = hashlib.md5(fh.read()).hexdigest()[:10]
     src = os.path.abspath(sf_dir.rstrip("/"))
     key = hashlib.md5(src.encode()).hexdigest()[:10]
+    docs_path = os.path.join(src, "documents.parquet")
+    sig = hashlib.md5()
+    if os.path.isdir(docs_path):
+        for base, _dirs, files in sorted(os.walk(docs_path)):
+            for f in sorted(files):
+                st = os.stat(os.path.join(base, f))
+                rel = os.path.relpath(os.path.join(base, f), docs_path)
+                sig.update(f"{rel}:{st.st_size}:{st.st_mtime_ns}".encode())
+    elif os.path.exists(docs_path):
+        st = os.stat(docs_path)
+        sig.update(f"{st.st_size}:{st.st_mtime_ns}".encode())
+    data_ver = sig.hexdigest()[:10]
     root = os.environ.get(
         "SPARK_GRAFT_SPANS_CACHE",
         os.path.join(tempfile.gettempdir(), "ddspark-spans-cache"),
     )
-    dest = os.path.join(root, f"g{gen_ver}-s{key}-r{replicate}")
-    if not os.path.exists(os.path.join(dest, "_SUCCESS")):
+    suffix = f"-s{key}-r{replicate}"
+    dest = os.path.join(root, f"g{gen_ver}-d{data_ver}{suffix}")
+    if not os.path.isdir(dest):
         os.makedirs(root, exist_ok=True)
+        # evict superseded generations of this (source, replicate) and
+        # sweep tmp dirs abandoned by crashed writers (age-guarded so a
+        # live concurrent writer's tmp is never touched)
+        now = time.time()
+        for name in os.listdir(root):
+            full = os.path.join(root, name)
+            stale_gen = name.endswith(suffix) and name != os.path.basename(dest)
+            stale_tmp = name.startswith("tmp-") and (
+                now - os.path.getmtime(full) > 3600
+            )
+            if stale_gen or stale_tmp:
+                shutil.rmtree(full, ignore_errors=True)
         tmp = os.path.join(root, f"tmp-{uuid.uuid4().hex}")
-        spans_from_documents(spark, sf_dir, replicate=replicate).write.mode(
-            "overwrite"
-        ).parquet(tmp)
         try:
+            spans_from_documents(
+                spark, sf_dir, replicate=replicate
+            ).write.mode("overwrite").parquet(tmp)
             os.rename(tmp, dest)
         except OSError:
-            shutil.rmtree(tmp, ignore_errors=True)  # concurrent writer won
+            pass  # concurrent writer won the rename; read its output
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
     return spark.read.parquet(dest)
 
 

@@ -128,19 +128,27 @@ def hierarchical_elements(
             continue
         captions: List[str] = []
         cap_tok = 0
+        cap_pages: List[int] = []
         if pending_captions:
             if kind in ("table", "media"):
                 captions = [c["content"] for c in pending_captions]
                 cap_tok = sum(count_tokens(c["content"]) for c in pending_captions)
+                # caption pages join the element's provenance exactly as
+                # the backward-attach path records them (G7 symmetry)
+                cap_pages = [c["page"] for c in pending_captions]
                 pending_captions.clear()
             else:
                 _flush_pending()
+        pages = [rec["page"]]
+        for p in cap_pages:
+            if p not in pages:
+                pages.append(p)
         elements.append(
             {
                 "kind": kind,
                 "text": rec["content"],
                 "media_ref": rec["media_ref"],
-                "pages": [rec["page"]],
+                "pages": pages,
                 "headings": list(stack),
                 "captions": captions,
                 "_cap_tok": cap_tok,
@@ -266,6 +274,16 @@ def hybrid_chunks(
 ) -> List[Dict]:
     """K1 — hierarchical elements → split oversized → merge same-heading
     peers while the merged contextualized text fits the budget.
+
+    BUDGET INVARIANT (precise form): each chunk's BODY token count fits
+    ``budget - context``, floored at 32 — context (headings + attached
+    captions) is repeated on every split piece and is itself never
+    split, exactly docling's behavior (meta rides whole on each piece).
+    Consequently a chunk whose context ALONE exceeds the budget is
+    over-budget by construction: a text element under pathological
+    heading stacks, a table with a giant caption, or a captioned media
+    element (pure-context chunk, body empty). Pinned by
+    tests/test_k1_golden.py G9.
 
     OWNERSHIP: the merge loop mutates element dicts in place (no
     defensive copies — round-3 kernel-CPU win). Safe because

@@ -627,6 +627,12 @@ DECONTAM_N = 8
 #: construction, giving the verify path guaranteed true positives.
 DECONTAM_EVAL_WORDS = 20
 DECONTAM_EVAL_MOD = 16
+#: hard cap on eval-set size: only doc_id < MOD * MAX_DOCS qualifies, so
+#: the eval relation holds at most MAX_DOCS docs (~MAX_DOCS * 13 grams)
+#: no matter how large the training corpus grows — the broadcast side
+#: is a true constant, not O(corpus/16). At test scales (<= 8192 docs)
+#: the predicate is a no-op, so small-SF oracle rows are unchanged.
+DECONTAM_EVAL_MAX_DOCS = 512
 #: flag threshold: >= this many distinct colliding n-grams. 1 matches
 #: the GPT-3 rule; 3 is kept so the output distinguishes hard hits
 #: from single-collision near-misses (both are returned).
@@ -646,8 +652,9 @@ def eval_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-corpus decontamination: docs sharing word {8}-grams with
     the eval set, with the distinct-collision count and the flag.
 
-    Scale shape: the eval set's distinct n-grams are a benchmark-sized
-    relation (thousands of rows at any corpus scale), so the collision
+    Scale shape: the eval set is capped at DECONTAM_EVAL_MAX_DOCS docs
+    (doc_id < MOD * MAX_DOCS), so its distinct n-grams are a bounded
+    relation (<= ~6.7k grams) at ANY corpus scale and the collision
     join is an eval-side broadcast hash join executed MAP-SIDE over the
     exploded training grams — the only rows that ever reach a shuffle
     are actual collisions (groupBy doc_id on the match set). No
@@ -661,7 +668,10 @@ def eval_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "split(trim(lower(text)), '\\\\s+') as w"
     )
     eval_grams = (
-        words.filter(f"doc_id % {DECONTAM_EVAL_MOD} = 1")
+        words.filter(
+            f"doc_id % {DECONTAM_EVAL_MOD} = 1 "
+            f"and doc_id < {DECONTAM_EVAL_MOD * DECONTAM_EVAL_MAX_DOCS}"
+        )
         .selectExpr(f"slice(w, 1, {DECONTAM_EVAL_WORDS}) as w")
         .selectExpr(f"explode({_ngrams_expr(DECONTAM_N)}) as g")
         .distinct()
@@ -697,7 +707,8 @@ WITH words AS (
 eval_grams AS (
   SELECT DISTINCT unnest({grams}) AS g
   FROM (SELECT list_slice(w, 1, {DECONTAM_EVAL_WORDS}) AS w FROM words
-        WHERE doc_id % {DECONTAM_EVAL_MOD} = 1)
+        WHERE doc_id % {DECONTAM_EVAL_MOD} = 1
+          AND doc_id < {DECONTAM_EVAL_MOD * DECONTAM_EVAL_MAX_DOCS})
 ),
 train_grams AS (
   SELECT doc_id, unnest(list_distinct({grams})) AS g FROM words

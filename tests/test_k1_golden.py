@@ -239,6 +239,65 @@ def test_g7_caption_attachment():
     ]
 
 
+def test_g7_caption_page_provenance_symmetric():
+    """Forward- and backward-attached captions contribute their page to
+    the element's provenance identically (round-4 review fix: the
+    forward path silently dropped the caption's page)."""
+    # forward: caption on page 3, table starts page 4
+    chunks = hybrid_chunks(
+        [
+            rec("caption", "Table 1: stats", page=3),
+            rec("table", "<t>x</t>", page=4),
+        ],
+        budget=512,
+    )
+    assert len(chunks) == 1
+    assert sorted(chunks[0]["pages"]) == [3, 4]
+
+    # backward: image on page 3, caption below on page 4 — same shape
+    chunks = hybrid_chunks(
+        [
+            rec("media", "", page=3, media_ref="m://1"),
+            rec("caption", "Fig 1", page=4),
+        ],
+        budget=512,
+    )
+    assert len(chunks) == 1
+    assert sorted(chunks[0]["pages"]) == [3, 4]
+
+
+def test_g9_context_is_never_split():
+    """G9: context (headings + captions) rides WHOLE on every chunk and
+    is never itself split — docling meta semantics. A chunk whose
+    context alone exceeds the budget is therefore over-budget by
+    construction, consistently across kinds: the BODY fits
+    ``max(budget - ctx, 32)``, the context does not count as splittable
+    text. Three shapes pinned: captioned media (pure-context chunk),
+    giant-caption table (body splits, caption repeats intact), giant
+    heading stack over text (G4's floor, restated vs captions)."""
+    giant_cap = " ".join(f"c{i}" for i in range(80))  # 80 tokens > budget 40
+
+    # captioned media: single chunk, full caption, no split attempt
+    chunks = hybrid_chunks(
+        [rec("caption", giant_cap), rec("media", "", media_ref="m://1")],
+        budget=40,
+    )
+    assert [(c["kind"], c["media_ref"]) for c in chunks] == [("media", "m://1")]
+    assert chunks[0]["text"] == giant_cap
+
+    # giant-caption table: the BODY splits at the 32-token floor and
+    # every piece repeats the intact caption
+    body = " ".join(f"w{i}" for i in range(64))  # 64 tokens
+    chunks = hybrid_chunks(
+        [rec("caption", giant_cap), rec("table", body)], budget=40
+    )
+    assert len(chunks) == 2, "body under context pressure must still split"
+    for ch in chunks:
+        assert ch["text"].startswith(giant_cap + "\n"), "caption was split"
+        piece_body = ch["text"][len(giant_cap) + 1 :]
+        assert count_tokens(piece_body) <= 32
+
+
 def test_g7_k2_caption_attachment():
     from deepdoc_api_spark.kernels.chunkers import hierarchical_chunks
 

@@ -69,21 +69,20 @@ def test_rows_only_queries_run(spark, sf_dir):
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
     rows_only = [k for k in qs if k not in oracles]
-    # keep the slow full-pipeline ones to a spot-check subset
-    spot = [
-        k
-        for k in rows_only
-        if k
-        in (
-            "chunk_stats_per_doc",
-            "span_kind_histogram",
-            "media_features",
-            "extract_chunks_toc",
-        )
-    ]
-    for k in spot:
+    # after the round-4 consolidation the rows-only family is exactly
+    # the five extract_chunks_* pipelines — run ALL of them, so a
+    # driver-side crash in their projections surfaces here, not in the
+    # live driver run
+    assert set(rows_only) == {
+        "extract_chunks_hybrid",
+        "extract_chunks_hierarchical",
+        "extract_chunks_toc",
+        "extract_chunks_mineru",
+        "extract_chunks_fallback",
+    }, rows_only
+    for k in rows_only:
         n = qs[k](spark, sf_dir).count()
-        assert n >= 0, k
+        assert n > 0, k
 
 
 def test_media_kind_histogram_pinned(spark, sf_dir):
