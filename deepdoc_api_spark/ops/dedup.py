@@ -341,9 +341,15 @@ def _containment_pairs_from_words(
     # materializes the sketch once (localCheckpoint single-node,
     # reliable files on a cluster via the session checkpoint dir); at
     # corpus scale this is the difference between 1 and 5 full scans.
+    # hs (the 32-bit shingle hashes) rides in the SAME checkpoint: the
+    # index, df-cap and probe branches all consume it, and without
+    # materialization each would re-run the md5 transform over every
+    # shingle (three extra full hashing passes — round-4 measurement)
     grams = _checkpoint(
         shingled.selectExpr(
             "doc_id", f"array_distinct({_SHINGLES_EXPR}) as gs"
+        ).selectExpr(
+            "doc_id", "gs", f"transform(gs, x -> {_SHINGLE_HASH_EXPR}) as hs"
         ),
         eager=True,
     )
@@ -373,9 +379,7 @@ def _containment_pairs_from_words(
         .filter("a.doc_id < b.doc_id")
         .selectExpr("a.doc_id as doc_a", "b.doc_id as doc_b")
     )
-    hashed = grams.selectExpr(
-        "doc_id", f"transform(gs, x -> {_SHINGLE_HASH_EXPR}) as hs"
-    )
+    hashed = grams.select("doc_id", "hs")
     index = hashed.selectExpr("doc_id", "explode(hs) as h")
     # df cap applied on the index side only: a frequent hash surviving
     # on the probe side joins an empty index bucket, so the fan-out

@@ -617,33 +617,51 @@ def ivf_topk(
 ) -> DataFrame:
     emb = _emb(spark, sf_dir)
 
-    def cos(a: str, b: str) -> str:
-        dot = _DOT.format(a=a, b=b)
-        na = _NORM.format(a=a)
-        nb = _NORM.format(a=b)
-        return f"cast(floor({dot} / ({na} * {nb}) * 1000000) as bigint)"
+    # Norm hoisting (round-4): norms are loop-invariant across the
+    # nlist comparisons — the vector's norm is computed ONCE per row
+    # (a column) and each centroid's norm ONCE per centroid (inside
+    # the broadcast struct), so the per-row lambda runs one aggregate
+    # (the dot product) instead of three. Same expressions, evaluated
+    # once and reused: sim_micro values (and the oracle) are unchanged.
+    # Also ~3x smaller expression tree — the unhoisted form's one-time
+    # plan/JIT cost dominated the op at benchmark scale (~5 s cold).
+    norm_c = _NORM.format(a="ct.c")
+    with_nb = (
+        f"transform(cents, ct -> struct(ct.cid as cid, ct.c as c,"
+        f" {norm_c} as nb)) as cents"
+    )
 
-    def argmax_cell(vec: str) -> str:
+    def argmax_cell(vec: str, nv: str) -> str:
         # Per-row argmax over the broadcast centroid array (round-3
         # VERDICT #3): an array(struct(sim_micro, -cid)) maximum gives
         # (sim DESC, cid ASC) tie-break semantics with ZERO row fan-out
         # — the old plan exploded N×nlist rows each carrying the full
         # vector through a row_number() window sort, twice. Same
         # pattern as the LSH per-row bit computation.
+        dot = _DOT.format(a=vec, b="ct.c")
         return (
             f"cast(-array_max(transform(cents, ct -> struct("
-            f"{cos(vec, 'ct.c')} as sim_micro,"
+            f"cast(floor({dot} / ({nv} * ct.nb) * 1000000) as bigint)"
+            f" as sim_micro,"
             f" cast(-ct.cid as bigint) as neg_cid))).neg_cid as bigint)"
         )
 
+    emb_n = emb.selectExpr(
+        "vec_id", "embedding",
+        f"{_NORM.format(a='embedding')} as nv",
+    )
     seeds_row = (
         emb.filter(F.col("vec_id") < nlist)
         .selectExpr("cast(vec_id as bigint) as cid", "embedding as c")
         .agg(F.expr("array_sort(collect_list(struct(cid, c)))").alias("cents"))
+        .selectExpr(with_nb)
     )
     assign1 = (
-        emb.join(F.broadcast(seeds_row))
-        .selectExpr("vec_id", "embedding", f"{argmax_cell('embedding')} as cid")
+        emb_n.join(F.broadcast(seeds_row))
+        .selectExpr(
+            "vec_id", "embedding",
+            f"{argmax_cell('embedding', 'nv')} as cid",
+        )
     )
     # Lloyd update in integer micro space: shuffle carries (cid, dim,
     # bigint) scalars with map-side combine — the standard k-means
@@ -679,31 +697,43 @@ def ivf_topk(
     cent_row = spark.createDataFrame(
         [([(int(r.cid), [float(v) for v in r.c]) for r in cent_rows],)],
         "cents array<struct<cid:bigint, c:array<double>>>",
-    )
+    ).selectExpr(with_nb)
     assign2 = (
-        emb.join(F.broadcast(cent_row))
-        .selectExpr("vec_id", "embedding", f"{argmax_cell('embedding')} as cid")
+        emb_n.join(F.broadcast(cent_row))
+        .selectExpr(
+            "vec_id", "embedding", "nv",
+            f"{argmax_cell('embedding', 'nv')} as cid",
+        )
     )
     # top-nprobe cells per query, still per-row: sort the nlist-element
     # struct array by (-sim, cid) ascending == (sim DESC, cid ASC),
     # slice nprobe, explode — n_queries×nprobe rows total, no window
+    q_dot = _DOT.format(a="q", b="ct.c")
     probes = (
-        emb.filter(F.col("vec_id") < n_queries)
-        .selectExpr("vec_id as qid", "embedding as q")
+        emb_n.filter(F.col("vec_id") < n_queries)
+        .selectExpr("vec_id as qid", "embedding as q", "nv as nq")
         .join(F.broadcast(cent_row))
         .selectExpr(
             "qid",
             "q",
+            "nq",
             f"explode(slice(array_sort(transform(cents, ct -> struct("
-            f"-({cos('q', 'ct.c')}) as neg_sim,"
+            f"-cast(floor({q_dot} / (nq * ct.nb) * 1000000) as bigint)"
+            f" as neg_sim,"
             f" cast(ct.cid as bigint) as cid))), 1, {nprobe})) as pr",
         )
-        .selectExpr("qid", "q", "pr.cid as cid")
+        .selectExpr("qid", "q", "nq", "pr.cid as cid")
     )
+    vq_dot = _DOT.format(a="embedding", b="q")
     scored = (
         assign2.join(F.broadcast(probes), "cid")
         .filter("vec_id != qid")
-        .selectExpr("qid", "vec_id", f"{cos('embedding', 'q')} as sim_micro")
+        .selectExpr(
+            "qid",
+            "vec_id",
+            f"cast(floor({vq_dot} / (nv * nq) * 1000000) as bigint)"
+            " as sim_micro",
+        )
     )
     return (
         scored.withColumn(
