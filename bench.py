@@ -175,6 +175,7 @@ def run_bench(sf_dir: str, cpus: int, replicate: int) -> dict:
             ("embedding_near_dup", similarity.embedding_near_dup_pairs),
             ("ann_topk_cosine", similarity.brute_force_topk),
             ("ann_topk_ivf", similarity.ivf_topk),
+            ("semantic_dedup", similarity.semantic_dedup),
             ("dedup_containment", dedup.containment_near_dup_pairs),
             ("fallback_window", fallback_text.fallback_window_chunks),
             ("text_quality_lang", None),

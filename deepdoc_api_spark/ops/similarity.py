@@ -607,60 +607,61 @@ IVF_NLIST = 16
 IVF_NPROBE = 4
 
 
-def ivf_topk(
-    spark: SparkSession,
-    sf_dir: str,
-    k: int = DEFAULT_K,
-    n_queries: int = DEFAULT_N_QUERIES,
-    nlist: int = IVF_NLIST,
-    nprobe: int = IVF_NPROBE,
-) -> DataFrame:
-    emb = _emb(spark, sf_dir)
+# Norm hoisting (round-4): norms are loop-invariant across the
+# nlist comparisons — the vector's norm is computed ONCE per row
+# (a column) and each centroid's norm ONCE per centroid (inside
+# the broadcast struct), so the per-row lambda runs one aggregate
+# (the dot product) instead of three. Same expressions, evaluated
+# once and reused: sim_micro values (and the oracle) are unchanged.
+# Also ~3x smaller expression tree — the unhoisted form's one-time
+# plan/JIT cost dominated the op at benchmark scale (~5 s cold).
+_WITH_NB = (
+    f"transform(cents, ct -> struct(ct.cid as cid, ct.c as c,"
+    f" {_NORM.format(a='ct.c')} as nb)) as cents"
+)
 
-    # Norm hoisting (round-4): norms are loop-invariant across the
-    # nlist comparisons — the vector's norm is computed ONCE per row
-    # (a column) and each centroid's norm ONCE per centroid (inside
-    # the broadcast struct), so the per-row lambda runs one aggregate
-    # (the dot product) instead of three. Same expressions, evaluated
-    # once and reused: sim_micro values (and the oracle) are unchanged.
-    # Also ~3x smaller expression tree — the unhoisted form's one-time
-    # plan/JIT cost dominated the op at benchmark scale (~5 s cold).
-    norm_c = _NORM.format(a="ct.c")
-    with_nb = (
-        f"transform(cents, ct -> struct(ct.cid as cid, ct.c as c,"
-        f" {norm_c} as nb)) as cents"
+
+def _argmax_cell(vec: str, nv: str) -> str:
+    # Per-row argmax over the broadcast centroid array (round-3
+    # VERDICT #3): an array(struct(sim_micro, -cid)) maximum gives
+    # (sim DESC, cid ASC) tie-break semantics with ZERO row fan-out
+    # — the old plan exploded N×nlist rows each carrying the full
+    # vector through a row_number() window sort, twice. Same
+    # pattern as the LSH per-row bit computation.
+    dot = _DOT.format(a=vec, b="ct.c")
+    return (
+        f"cast(-array_max(transform(cents, ct -> struct("
+        f"cast(floor({dot} / ({nv} * ct.nb) * 1000000) as bigint)"
+        f" as sim_micro,"
+        f" cast(-ct.cid as bigint) as neg_cid))).neg_cid as bigint)"
     )
 
-    def argmax_cell(vec: str, nv: str) -> str:
-        # Per-row argmax over the broadcast centroid array (round-3
-        # VERDICT #3): an array(struct(sim_micro, -cid)) maximum gives
-        # (sim DESC, cid ASC) tie-break semantics with ZERO row fan-out
-        # — the old plan exploded N×nlist rows each carrying the full
-        # vector through a row_number() window sort, twice. Same
-        # pattern as the LSH per-row bit computation.
-        dot = _DOT.format(a=vec, b="ct.c")
-        return (
-            f"cast(-array_max(transform(cents, ct -> struct("
-            f"cast(floor({dot} / ({nv} * ct.nb) * 1000000) as bigint)"
-            f" as sim_micro,"
-            f" cast(-ct.cid as bigint) as neg_cid))).neg_cid as bigint)"
-        )
 
+def _kmeans_assign(emb: DataFrame, nlist: int):
+    """Deterministic k-means-lite cell assignment, shared by the IVF
+    quantizer and the semantic-dedup clustering.
+
+    Returns ``(assign, cent_row)``: assign = (vec_id, embedding, nv,
+    cid) after ONE integer-micro Lloyd refinement; cent_row = the
+     1-row broadcastable centroid table (cid, c, nb). Seeds are the
+    nlist lowest NON-NEGATIVE vec_ids (the planted-twin id space is
+    negative and must never seed).
+    """
     emb_n = emb.selectExpr(
         "vec_id", "embedding",
         f"{_NORM.format(a='embedding')} as nv",
     )
     seeds_row = (
-        emb.filter(F.col("vec_id") < nlist)
+        emb.filter(f"vec_id >= 0 and vec_id < {nlist}")
         .selectExpr("cast(vec_id as bigint) as cid", "embedding as c")
         .agg(F.expr("array_sort(collect_list(struct(cid, c)))").alias("cents"))
-        .selectExpr(with_nb)
+        .selectExpr(_WITH_NB)
     )
     assign1 = (
         emb_n.join(F.broadcast(seeds_row))
         .selectExpr(
             "vec_id", "embedding",
-            f"{argmax_cell('embedding', 'nv')} as cid",
+            f"{_argmax_cell('embedding', 'nv')} as cid",
         )
     )
     # Lloyd update in integer micro space: shuffle carries (cid, dim,
@@ -697,14 +698,31 @@ def ivf_topk(
     cent_row = spark.createDataFrame(
         [([(int(r.cid), [float(v) for v in r.c]) for r in cent_rows],)],
         "cents array<struct<cid:bigint, c:array<double>>>",
-    ).selectExpr(with_nb)
-    assign2 = (
+    ).selectExpr(_WITH_NB)
+    assign = (
         emb_n.join(F.broadcast(cent_row))
         .selectExpr(
             "vec_id", "embedding", "nv",
-            f"{argmax_cell('embedding', 'nv')} as cid",
+            f"{_argmax_cell('embedding', 'nv')} as cid",
         )
     )
+    return assign, cent_row
+
+
+def ivf_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = DEFAULT_K,
+    n_queries: int = DEFAULT_N_QUERIES,
+    nlist: int = IVF_NLIST,
+    nprobe: int = IVF_NPROBE,
+) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    emb_n = emb.selectExpr(
+        "vec_id", "embedding",
+        f"{_NORM.format(a='embedding')} as nv",
+    )
+    assign2, cent_row = _kmeans_assign(emb, nlist)
     # top-nprobe cells per query, still per-row: sort the nlist-element
     # struct array by (-sim, cid) ascending == (sim DESC, cid ASC),
     # slice nprobe, explode — n_queries×nprobe rows total, no window
@@ -807,3 +825,193 @@ SELECT qid, vec_id, rank::INTEGER AS rank, sim_micro FROM (
   FROM scored)
 WHERE rank <= {k}
 """
+
+
+# ---------------------------------------------------------------------------
+# semantic dedup: k-means clusters + intra-cluster cosine pruning
+# ---------------------------------------------------------------------------
+#
+# The embedding-space complement of the text dedup stack (SemDeDup,
+# Abbas et al. 2023: cluster the corpus embeddings, then remove all but
+# one of each intra-cluster group whose pairwise cosine exceeds a
+# threshold — catches paraphrases and re-encodings that share no
+# n-grams, which MinHash/SimHash blocking cannot see). Clustering
+# reuses the IVF coarse quantizer verbatim (deterministic seeds, one
+# integer-micro Lloyd step, per-row argmax over broadcast centroids).
+#
+# Scale shape: the pairwise compare is confined to cluster-mates — the
+# corpus shuffles ONCE on cid per join side (vectors ride that shuffle
+# once; candidates-then-fetch would fetch per PAIR, strictly more), and
+# at production scale nlist grows ∝ N so the expected cluster stays
+# benchmark-sized (SemDeDup runs 50k clusters on LAION). The
+# MAX_CLUSTER_VECS guard bounds the worst cell: members of an
+# overflowing cluster skip the pairwise and are reported with
+# cluster_overflow = true — explicitly surfaced, never silently scored.
+
+SEMANTIC_TAU_MICRO = 900_000
+MAX_CLUSTER_VECS = 4096
+
+
+def _semantic_dedup_from(
+    emb: DataFrame, tau_micro: int, nlist: int
+) -> DataFrame:
+    from deepdoc_api_spark.ops.dedup import _checkpoint
+
+    assign, _cent = _kmeans_assign(emb, nlist)
+    # the assignment feeds FOUR plan branches (sizes, both pairwise
+    # sides, final verdict join); without materialization each replays
+    # the full clustering subtree — the same multi-consumer shape the
+    # containment op checkpoints (one pass vs four at corpus scale)
+    assign = _checkpoint(assign, eager=True)
+    sizes = assign.groupBy("cid").agg(F.count("*").alias("n_vecs"))
+    ok = sizes.filter(F.col("n_vecs") <= MAX_CLUSTER_VECS).select("cid")
+    members = assign.join(F.broadcast(ok), "cid")
+    a = members.selectExpr(
+        "cid", "vec_id as id_a", "embedding as ea", "nv as na"
+    )
+    b = members.selectExpr(
+        "cid", "vec_id as id_b", "embedding as eb", "nv as nb"
+    )
+    dot = _DOT.format(a="ea", b="eb")
+    pairs = (
+        a.join(b, "cid")
+        .filter("id_a < id_b")
+        .selectExpr(
+            "id_a",
+            "id_b",
+            f"cast(floor({dot} / (na * nb) * 1000000) as bigint) as sim_micro",
+        )
+        .filter(F.col("sim_micro") >= tau_micro)
+    )
+    partners = pairs.selectExpr("id_a as vec_id", "id_b as partner").unionByName(
+        pairs.selectExpr("id_b as vec_id", "id_a as partner")
+    )
+    per_vec = partners.groupBy("vec_id").agg(
+        F.count("*").alias("nd"),
+        F.max(
+            F.expr("case when partner < vec_id then 1 else 0 end")
+        ).alias("has_lower"),
+    )
+    # keeper rule: min vec_id of its duplicate neighborhood survives
+    # (the same deterministic convention as exact_dedup's keeper)
+    return (
+        assign.join(F.broadcast(sizes), "cid")
+        .join(per_vec, "vec_id", "left")
+        .selectExpr(
+            "vec_id",
+            "cast(cid as bigint) as cluster_id",
+            "cast(coalesce(nd, 0) as bigint) as n_dup_partners",
+            "coalesce(has_lower = 1, false) as is_semantic_dup",
+            f"n_vecs > {MAX_CLUSTER_VECS} as cluster_overflow",
+        )
+    )
+
+
+def semantic_dedup(
+    spark: SparkSession,
+    sf_dir: str,
+    tau_micro: int = SEMANTIC_TAU_MICRO,
+    nlist: int = IVF_NLIST,
+) -> DataFrame:
+    """Per-vector semantic-duplicate verdict over the raw embeddings
+    table (bench path; the driver's verify path runs the planted
+    variant below — the synthetic vectors are near-random, so the raw
+    op's correct answer flags nothing)."""
+    return _semantic_dedup_from(_emb(spark, sf_dir), tau_micro, nlist)
+
+
+def semantic_dedup_planted(
+    spark: SparkSession,
+    sf_dir: str,
+    tau_micro: int = SEMANTIC_TAU_MICRO,
+    nlist: int = IVF_NLIST,
+) -> DataFrame:
+    """Semantic dedup over the table UNIONed with deterministic twins
+    (id = -(vec_id + 1), component 1 halved — cos ≈ 0.998): every
+    original lands in the same cluster as its twin and must be flagged
+    ``is_semantic_dup`` with the NEGATIVE twin as keeper (min-id rule),
+    giving the verify path one true positive per vector whose cluster
+    assignment, pairwise cosine and keeper arithmetic must all match
+    the DuckDB re-derivation value-exactly."""
+    emb = _emb(spark, sf_dir)
+    twins = emb.selectExpr(
+        f"{_TWIN_ID_EXPR} as vec_id", f"{_TWIN_EXPR} as embedding"
+    )
+    aug = emb.select("vec_id", "embedding").unionByName(twins)
+    return _semantic_dedup_from(aug, tau_micro, nlist)
+
+
+def _semantic_dedup_sql(
+    source_sql: str, tau_micro: int, nlist: int
+) -> str:
+    def cos(a: str, b: str) -> str:
+        return (
+            "CAST(floor("
+            f"list_sum(list_transform(range(1, len({a}) + 1),"
+            f" i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE))"
+            f" / (sqrt(list_sum(list_transform({a}, x -> x::DOUBLE * x::DOUBLE)))"
+            f" * sqrt(list_sum(list_transform({b}, x -> x::DOUBLE * x::DOUBLE))))"
+            " * 1000000) AS BIGINT)"
+        )
+
+    return f"""
+WITH e AS ({source_sql}),
+seeds AS (SELECT vec_id AS cid, embedding AS c FROM e
+          WHERE vec_id >= 0 AND vec_id < {nlist}),
+s1 AS (SELECT e.vec_id, e.embedding, seeds.cid,
+              {cos('e.embedding', 'seeds.c')} AS sim_micro
+       FROM e, seeds),
+a1 AS (SELECT vec_id, embedding, cid FROM (
+         SELECT *, row_number() OVER (PARTITION BY vec_id
+                   ORDER BY sim_micro DESC, cid ASC) AS rn FROM s1)
+       WHERE rn = 1),
+comps AS (SELECT cid,
+                 unnest(range(1, len(embedding) + 1)) AS dim,
+                 unnest(list_transform(embedding,
+                        x -> CAST(floor(x::DOUBLE * 1000000) AS BIGINT))) AS xm
+          FROM a1),
+cent AS (SELECT cid, list(CAST(s AS DOUBLE) ORDER BY dim) AS c FROM (
+           SELECT cid, dim, sum(xm) AS s FROM comps GROUP BY cid, dim)
+         GROUP BY cid),
+s2 AS (SELECT e.vec_id, e.embedding, cent.cid,
+              {cos('e.embedding', 'cent.c')} AS sim_micro
+       FROM e, cent),
+a2 AS (SELECT vec_id, embedding, cid FROM (
+         SELECT *, row_number() OVER (PARTITION BY vec_id
+                   ORDER BY sim_micro DESC, cid ASC) AS rn FROM s2)
+       WHERE rn = 1),
+sizes AS (SELECT cid, count(*) AS n_vecs FROM a2 GROUP BY cid),
+pairs AS (SELECT id_a, id_b, sim_micro FROM (
+            SELECT x.vec_id AS id_a, y.vec_id AS id_b,
+                   {cos('x.embedding', 'y.embedding')} AS sim_micro
+            FROM a2 x JOIN a2 y USING (cid)
+                 JOIN sizes USING (cid)
+            WHERE x.vec_id < y.vec_id AND sizes.n_vecs <= {MAX_CLUSTER_VECS})
+          WHERE sim_micro >= {tau_micro}),
+partners AS (SELECT id_a AS vec_id, id_b AS partner FROM pairs
+             UNION ALL
+             SELECT id_b AS vec_id, id_a AS partner FROM pairs),
+per_vec AS (SELECT vec_id, count(*) AS nd,
+                   max(CASE WHEN partner < vec_id THEN 1 ELSE 0 END)
+                     AS has_lower
+            FROM partners GROUP BY vec_id)
+SELECT a2.vec_id,
+       a2.cid::BIGINT AS cluster_id,
+       coalesce(per_vec.nd, 0)::BIGINT AS n_dup_partners,
+       coalesce(per_vec.has_lower, 0) = 1 AS is_semantic_dup,
+       sizes.n_vecs > {MAX_CLUSTER_VECS} AS cluster_overflow
+FROM a2 JOIN sizes USING (cid)
+     LEFT JOIN per_vec ON per_vec.vec_id = a2.vec_id
+"""
+
+
+def semantic_dedup_planted_sql(
+    tau_micro: int = SEMANTIC_TAU_MICRO, nlist: int = IVF_NLIST
+) -> str:
+    src = (
+        "SELECT vec_id, embedding FROM embeddings"
+        " UNION ALL "
+        f"SELECT -(vec_id + 1) AS vec_id, {_TWIN_SQL} AS embedding"
+        " FROM embeddings"
+    )
+    return _semantic_dedup_sql(src, tau_micro, nlist)

@@ -172,3 +172,19 @@ def test_gopher_flag_branches_fire_on_synthetic_docs(spark, tmp_path):
             o["gopher_flag"], o["dup_line_milli"], o["top_bigram_milli"],
             o["mean_word_len_centi"],
         ), d
+
+
+def test_simhash16_parity_pinned(spark, sf_dir):
+    """simhash16 left queries() in round 4 (replaced by the
+    oracle-bearing semantic_dedup; the 64-bit SimHash family stays
+    driver-checked via simhash_words/simhash_near_dup_pairs); this
+    keeps the 16-bit variant value-exact against its DuckDB oracle."""
+    from deepdoc_api_spark.ops.dedup import SIMHASH16_SQL, simhash16
+
+    sdf = simhash16(spark, sf_dir)
+    srows = [tuple(_norm(v) for v in row) for row in sdf.collect()]
+    res = _duck(sf_dir).execute(SIMHASH16_SQL)
+    dcols = [d[0] for d in res.description]
+    drows = [tuple(_norm(v) for v in row) for row in res.fetchall()]
+    assert sdf.columns == dcols
+    assert sorted(srows) == sorted(drows) and len(srows) > 0

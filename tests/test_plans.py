@@ -436,3 +436,41 @@ def test_decontamination_collision_join_is_broadcast(spark, sf_dir):
     )
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_semantic_dedup_plan_and_planted_semantics(spark, sf_dir):
+    """SemDeDup clustering path: (a) no cartesian product anywhere —
+    the pairwise compare must be an equi-join on cid; (b) the planted
+    twins make REAL positives: every flagged original's keeper is its
+    negative twin (min-id rule), and no twin (negative id) is flagged
+    when its original is the only partner."""
+    import re
+
+    from deepdoc_api_spark.ops import similarity
+
+    df = similarity.semantic_dedup_planted(spark, sf_dir)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan
+    # the only keyless joins allowed are the two 1-row centroid-table
+    # broadcasts (seeds pass + refined pass) — the same shape ivf_topk
+    # uses; the PAIRWISE compare must never appear as a nested loop
+    n_bnlj = plan.count("BroadcastNestedLoopJoin")
+    assert n_bnlj <= 2, f"{n_bnlj} nested-loop joins — pairwise not keyed?"
+
+    rows = df.collect()
+    by_id = {r.vec_id: r for r in rows}
+    originals = [r for r in rows if r.vec_id >= 0]
+    flagged = [r for r in originals if r.is_semantic_dup]
+    # near-all originals pair with their twin (a handful may land in a
+    # different cell after the Lloyd step — allowed, but not many)
+    assert len(flagged) >= int(0.9 * len(originals)), (
+        f"only {len(flagged)}/{len(originals)} originals flagged"
+    )
+    for r in flagged[:50]:
+        twin = by_id.get(-(r.vec_id + 1))
+        assert twin is not None
+        if twin.cluster_id == r.cluster_id and twin.n_dup_partners == 1:
+            # twin has only its original as partner and a LOWER id:
+            # the twin is the keeper, the original is the dup
+            assert not twin.is_semantic_dup
+    assert not any(r.cluster_overflow for r in rows)
