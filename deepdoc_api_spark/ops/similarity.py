@@ -70,19 +70,22 @@ def brute_force_topk(
     full table — a map-side-only scan, no shuffle until the final
     per-query top-k aggregation."""
     emb = _emb(spark, sf_dir)
+    # query norms ride in the broadcast (computed once per query, not
+    # once per (row, query) pair — the same loop-invariant hoist as the
+    # IVF argmax); identical expressions evaluated once, values exact
     queries = emb.filter(F.col("vec_id") < n_queries).selectExpr(
-        "vec_id as qid", "embedding as q"
+        "vec_id as qid", "embedding as q",
+        f"{_NORM.format(a='embedding')} as nq",
     )
     dot = _DOT.format(a="embedding", b="q")
     na = _NORM.format(a="embedding")
-    nb = _NORM.format(a="q")
     scored = (
         emb.join(F.broadcast(queries))
         .filter("vec_id != qid")
         .selectExpr(
             "qid",
             "vec_id",
-            f"cast(floor({dot} / ({na} * {nb}) * 1000000) as bigint) as sim_micro",
+            f"cast(floor({dot} / ({na} * nq) * 1000000) as bigint) as sim_micro",
         )
     )
     return (
@@ -183,19 +186,21 @@ def lsh_bucket_topk(
 
     sig = " + ".join(bit_expr(b) for b in range(n_bits))
     signed = emb.selectExpr("vec_id", "embedding", f"cast({sig} as int) as bucket")
+    # query norm hoisted into the broadcast (once per query, not once
+    # per bucket-mate) — same loop-invariant discipline as IVF
     queries = signed.filter(F.col("vec_id") < n_queries).selectExpr(
-        "vec_id as qid", "embedding as q", "bucket"
+        "vec_id as qid", "embedding as q", "bucket",
+        f"{_NORM.format(a='embedding')} as nq",
     )
     dot = _DOT.format(a="embedding", b="q")
     na = _NORM.format(a="embedding")
-    nb = _NORM.format(a="q")
     scored = (
         signed.join(F.broadcast(queries), "bucket")
         .filter("vec_id != qid")
         .selectExpr(
             "qid",
             "vec_id",
-            f"cast(floor({dot} / ({na} * {nb}) * 1000000) as bigint) as sim_micro",
+            f"cast(floor({dot} / ({na} * nq) * 1000000) as bigint) as sim_micro",
         )
     )
     return (
