@@ -155,26 +155,47 @@ def spans_parquet_cached(
     dest = os.path.join(root, f"g{gen_ver}-d{data_ver}{suffix}")
     if not os.path.isdir(dest):
         os.makedirs(root, exist_ok=True)
-        # evict superseded generations of this (source, replicate) and
-        # sweep tmp dirs abandoned by crashed writers (age-guarded so a
-        # live concurrent writer's tmp is never touched)
+        # Best-effort sweep of superseded generations of this (source,
+        # replicate) and of tmp dirs abandoned by crashed writers. Both
+        # are age-guarded at 6 h: a tmp younger than that may belong to
+        # a LIVE writer (Spark only sets the dir mtime at job start),
+        # and a superseded generation younger than that may still be
+        # lazily read by a session that opened it before the input
+        # changed. Residual race (documented, accepted for a test-data
+        # cache): a reader session older than 6 h that still holds
+        # DataFrames over a superseded generation would fail its next
+        # action after eviction — re-running the query regenerates
+        # deterministically. Every stat/rmtree is exception-guarded:
+        # a concurrent sweeper or renamer can remove entries between
+        # listdir and stat (TOCTOU), which must never abort this run.
         now = time.time()
         for name in os.listdir(root):
             full = os.path.join(root, name)
-            stale_gen = name.endswith(suffix) and name != os.path.basename(dest)
-            stale_tmp = name.startswith("tmp-") and (
-                now - os.path.getmtime(full) > 3600
-            )
-            if stale_gen or stale_tmp:
-                shutil.rmtree(full, ignore_errors=True)
+            try:
+                old = now - os.path.getmtime(full) > 6 * 3600
+                stale_gen = (
+                    old
+                    and name.endswith(suffix)
+                    and name != os.path.basename(dest)
+                )
+                stale_tmp = old and name.startswith("tmp-")
+                if stale_gen or stale_tmp:
+                    shutil.rmtree(full, ignore_errors=True)
+            except OSError:
+                continue  # entry vanished under us — someone else swept
         tmp = os.path.join(root, f"tmp-{uuid.uuid4().hex}")
         try:
             spans_from_documents(
                 spark, sf_dir, replicate=replicate
             ).write.mode("overwrite").parquet(tmp)
-            os.rename(tmp, dest)
-        except OSError:
-            pass  # concurrent writer won the rename; read its output
+            try:
+                os.rename(tmp, dest)
+            except OSError:
+                # only a concurrent winner excuses the failure — any
+                # other cause (permissions, cross-device root) must
+                # surface as itself, not as a bogus read-miss later
+                if not os.path.isdir(dest):
+                    raise
         finally:
             shutil.rmtree(tmp, ignore_errors=True)
     return spark.read.parquet(dest)

@@ -771,25 +771,29 @@ def ivf_topk(
     )
 
 
-def ivf_topk_sql(
-    k: int = DEFAULT_K,
-    n_queries: int = DEFAULT_N_QUERIES,
-    nlist: int = IVF_NLIST,
-    nprobe: int = IVF_NPROBE,
-) -> str:
-    def cos(a: str, b: str) -> str:
-        return (
-            "CAST(floor("
-            f"list_sum(list_transform(range(1, len({a}) + 1),"
-            f" i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE))"
-            f" / (sqrt(list_sum(list_transform({a}, x -> x::DOUBLE * x::DOUBLE)))"
-            f" * sqrt(list_sum(list_transform({b}, x -> x::DOUBLE * x::DOUBLE))))"
-            " * 1000000) AS BIGINT)"
-        )
+def _duck_cos(a: str, b: str) -> str:
+    """DuckDB cosine in sim_micro, arithmetic-identical to the Spark
+    _DOT/_NORM pipeline (double accumulation in index order)."""
+    return (
+        "CAST(floor("
+        f"list_sum(list_transform(range(1, len({a}) + 1),"
+        f" i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE))"
+        f" / (sqrt(list_sum(list_transform({a}, x -> x::DOUBLE * x::DOUBLE)))"
+        f" * sqrt(list_sum(list_transform({b}, x -> x::DOUBLE * x::DOUBLE))))"
+        " * 1000000) AS BIGINT)"
+    )
 
-    return f"""
-WITH e AS (SELECT vec_id, embedding FROM embeddings),
-seeds AS (SELECT vec_id AS cid, embedding AS c FROM e WHERE vec_id < {nlist}),
+
+def _kmeans_ctes_sql(nlist: int) -> str:
+    """The DuckDB mirror of :func:`_kmeans_assign` — seeds, first
+    assignment, integer-micro Lloyd update, refined assignment — shared
+    by the IVF and semantic-dedup oracles so the byte-sensitive CTE
+    chain exists ONCE (a ``WITH e AS (...)`` CTE must precede it). The
+    seed predicate excludes negative ids exactly like the Spark helper
+    (a no-op for the raw table; load-bearing for planted-twin tables)."""
+    cos = _duck_cos
+    return f"""seeds AS (SELECT vec_id AS cid, embedding AS c FROM e
+          WHERE vec_id >= 0 AND vec_id < {nlist}),
 s1 AS (SELECT e.vec_id, e.embedding, seeds.cid,
               {cos('e.embedding', 'seeds.c')} AS sim_micro
        FROM e, seeds),
@@ -811,7 +815,19 @@ s2 AS (SELECT e.vec_id, e.embedding, cent.cid,
 a2 AS (SELECT vec_id, embedding, cid FROM (
          SELECT *, row_number() OVER (PARTITION BY vec_id
                    ORDER BY sim_micro DESC, cid ASC) AS rn FROM s2)
-       WHERE rn = 1),
+       WHERE rn = 1)"""
+
+
+def ivf_topk_sql(
+    k: int = DEFAULT_K,
+    n_queries: int = DEFAULT_N_QUERIES,
+    nlist: int = IVF_NLIST,
+    nprobe: int = IVF_NPROBE,
+) -> str:
+    cos = _duck_cos
+    return f"""
+WITH e AS (SELECT vec_id, embedding FROM embeddings),
+{_kmeans_ctes_sql(nlist)},
 probes AS (SELECT qid, q, cid FROM (
              SELECT q.vec_id AS qid, q.embedding AS q, cent.cid,
                     {cos('q.embedding', 'cent.c')} AS sim_micro,
@@ -949,42 +965,10 @@ def semantic_dedup_planted(
 def _semantic_dedup_sql(
     source_sql: str, tau_micro: int, nlist: int
 ) -> str:
-    def cos(a: str, b: str) -> str:
-        return (
-            "CAST(floor("
-            f"list_sum(list_transform(range(1, len({a}) + 1),"
-            f" i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE))"
-            f" / (sqrt(list_sum(list_transform({a}, x -> x::DOUBLE * x::DOUBLE)))"
-            f" * sqrt(list_sum(list_transform({b}, x -> x::DOUBLE * x::DOUBLE))))"
-            " * 1000000) AS BIGINT)"
-        )
-
+    cos = _duck_cos
     return f"""
 WITH e AS ({source_sql}),
-seeds AS (SELECT vec_id AS cid, embedding AS c FROM e
-          WHERE vec_id >= 0 AND vec_id < {nlist}),
-s1 AS (SELECT e.vec_id, e.embedding, seeds.cid,
-              {cos('e.embedding', 'seeds.c')} AS sim_micro
-       FROM e, seeds),
-a1 AS (SELECT vec_id, embedding, cid FROM (
-         SELECT *, row_number() OVER (PARTITION BY vec_id
-                   ORDER BY sim_micro DESC, cid ASC) AS rn FROM s1)
-       WHERE rn = 1),
-comps AS (SELECT cid,
-                 unnest(range(1, len(embedding) + 1)) AS dim,
-                 unnest(list_transform(embedding,
-                        x -> CAST(floor(x::DOUBLE * 1000000) AS BIGINT))) AS xm
-          FROM a1),
-cent AS (SELECT cid, list(CAST(s AS DOUBLE) ORDER BY dim) AS c FROM (
-           SELECT cid, dim, sum(xm) AS s FROM comps GROUP BY cid, dim)
-         GROUP BY cid),
-s2 AS (SELECT e.vec_id, e.embedding, cent.cid,
-              {cos('e.embedding', 'cent.c')} AS sim_micro
-       FROM e, cent),
-a2 AS (SELECT vec_id, embedding, cid FROM (
-         SELECT *, row_number() OVER (PARTITION BY vec_id
-                   ORDER BY sim_micro DESC, cid ASC) AS rn FROM s2)
-       WHERE rn = 1),
+{_kmeans_ctes_sql(nlist)},
 sizes AS (SELECT cid, count(*) AS n_vecs FROM a2 GROUP BY cid),
 pairs AS (SELECT id_a, id_b, sim_micro FROM (
             SELECT x.vec_id AS id_a, y.vec_id AS id_b,

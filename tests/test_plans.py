@@ -466,11 +466,16 @@ def test_semantic_dedup_plan_and_planted_semantics(spark, sf_dir):
     assert len(flagged) >= int(0.9 * len(originals)), (
         f"only {len(flagged)}/{len(originals)} originals flagged"
     )
-    for r in flagged[:50]:
+    checked_keepers = 0
+    for r in flagged:
         twin = by_id.get(-(r.vec_id + 1))
         assert twin is not None
         if twin.cluster_id == r.cluster_id and twin.n_dup_partners == 1:
             # twin has only its original as partner and a LOWER id:
             # the twin is the keeper, the original is the dup
             assert not twin.is_semantic_dup
+            checked_keepers += 1
+    # the guard must actually fire — a vacuously-skipped loop would
+    # certify nothing about the min-id keeper rule
+    assert checked_keepers > 100, checked_keepers
     assert not any(r.cluster_overflow for r in rows)
