@@ -18,6 +18,7 @@ scaling:
 	$(PY) bench.py --scaling --replicate 8
 
 smoke: package
+	rm -rf /tmp/ddspark_smoke  # fresh state: the lineage guard (by design)
 	spark-submit --master "local[8]" --py-files dist/deepdoc_api_spark.zip \
 		run_job.py --generate-from /root/testdata/sf0.001 \
 		--output /tmp/ddspark_smoke --run-id smoke --buckets 16
