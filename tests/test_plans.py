@@ -479,3 +479,79 @@ def test_semantic_dedup_plan_and_planted_semantics(spark, sf_dir):
     # certify nothing about the min-id keeper rule
     assert checked_keepers > 100, checked_keepers
     assert not any(r.cluster_overflow for r in rows)
+
+
+def test_containment_probe_skips_stop_shingles(spark):
+    """Round-4 ADVICE: a doc whose SMALLEST shingle hashes are all
+    stop-shingles (df > MAX_SHINGLE_DF, dropped from the index) must
+    still find its containment partner — the round-5 probe takes the K
+    smallest NON-frequent hashes (pre-slice CAND, anti-join frequent,
+    re-slice K), restoring the (1-c)^K miss bound for docs that open
+    with common boilerplate.
+
+    Construction: 70 filler docs share a boilerplate phrase, driving
+    its shingles over the df cap. Doc A = boilerplate + a rare tail;
+    doc B quotes A verbatim. The rare words are SEARCHED so that every
+    rare-touching shingle of A hashes ABOVE every boilerplate shingle
+    hash — i.e. A's bottom-CONTAINMENT_PROBE_K hashes are all frequent,
+    exactly the case the unpruned round-4 probe lost silently."""
+    import hashlib
+
+    from deepdoc_api_spark.ops import dedup
+    from deepdoc_api_spark.ops.dedup import (
+        CONTAINMENT_PROBE_K,
+        MAX_SHINGLE_DF,
+        _containment_pairs_from_words,
+    )
+
+    def h32(shingle: str) -> int:
+        # window 0 of the digest family: first 8 hex of md5('0:'||x)
+        return int(hashlib.md5(f"0:{shingle}".encode()).hexdigest()[:8], 16)
+
+    boiler = "alpha beta gamma delta epsilon zeta".split()
+    boiler_shingles = [
+        " ".join(boiler[i : i + 3]) for i in range(len(boiler) - 2)
+    ]
+    cap = max(h32(s) for s in boiler_shingles)
+
+    # deterministic search: a rare 3-word tail whose every shingle in
+    # context (cross-boundary + pure-rare) hashes above the cap
+    tail = None
+    for t in range(10_000):
+        cand = [f"r{t}a", f"r{t}b", f"r{t}c"]
+        words_a = boiler + cand
+        sh = [" ".join(words_a[i : i + 3]) for i in range(len(words_a) - 2)]
+        rare = [s for s in sh if s not in boiler_shingles]
+        if all(h32(s) > cap for s in rare):
+            tail = cand
+            break
+    assert tail is not None, "search space exhausted (fixture bug)"
+
+    words_a = boiler + tail
+    # sanity: A's bottom-K hashes are ALL boilerplate (frequent) ones
+    sh_a = sorted(
+        {" ".join(words_a[i : i + 3]) for i in range(len(words_a) - 2)},
+        key=h32,
+    )
+    assert all(
+        s in boiler_shingles for s in sh_a[:CONTAINMENT_PROBE_K]
+    ), "fixture must front-load stop-shingles"
+
+    rows = [(0, words_a)]  # doc A: boilerplate + rare tail
+    filler = [f"f{i}x" for i in range(8)]
+    rows.append((1, filler + words_a + ["endcap1", "endcap2"]))  # B ⊇ A
+    for i in range(MAX_SHINGLE_DF + 6):  # drive boilerplate over the cap
+        rows.append((100 + i, boiler + [f"u{i}a", f"u{i}b"]))
+    words = spark.createDataFrame(
+        rows, "doc_id long, w array<string>"
+    ).repartition(4, "doc_id")
+
+    found = {
+        (r.doc_a, r.doc_b): r.containment_milli
+        for r in _containment_pairs_from_words(words, 800).collect()
+    }
+    assert (0, 1) in found, (
+        "stop-shingle-fronted doc lost its containment pair: "
+        f"{sorted(found)[:10]}"
+    )
+    assert found[(0, 1)] == 1000
