@@ -14,6 +14,8 @@ ints (``sim_micro = floor(1e6·cos)``).
 
 from __future__ import annotations
 
+from typing import Optional
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -610,6 +612,58 @@ SELECT qid, vec_id, rank::INTEGER AS rank, sim_micro FROM ranked WHERE rank <= {
 
 IVF_NLIST = 16
 IVF_NPROBE = 4
+#: round-5 scale parameterization (round-4 VERDICT #1): nlist grows
+#: with the corpus — ~one cell per IVF_TARGET_CLUSTER vectors
+#: (SemDeDup, Abbas et al. 2023, runs ~50k clusters on LAION-scale
+#: corpora; a fixed nlist=16 made every cell overflow past ~10^5
+#: vectors and turned semantic dedup into a no-op-with-a-warning).
+#: IVF_MAX_NLIST bounds the driver-side centroid collect/broadcast
+#: (65536 × 64-dim doubles ≈ 33 MB — the FAISS-style "centroids fit in
+#: memory" contract); above nlist·target vectors the per-cell overflow
+#: is handled by the depth-1 sub-clustering pass instead.
+IVF_TARGET_CLUSTER = 512
+IVF_MAX_NLIST = 65536
+
+
+def nlist_for(n_vecs: int) -> int:
+    """Cluster count for an ``n_vecs``-vector corpus. Pure integer
+    arithmetic, mirrored verbatim by the oracle's params CTE (see
+    :func:`_nlist_params_sql`) — both engines MUST agree bit-for-bit."""
+    return min(
+        IVF_MAX_NLIST,
+        max(
+            IVF_NLIST,
+            (n_vecs + IVF_TARGET_CLUSTER - 1) // IVF_TARGET_CLUSTER,
+        ),
+    )
+
+
+def _nlist_params_sql() -> str:
+    """DuckDB mirror of :func:`nlist_for` as a 1-row params CTE over
+    ``e`` (the query's source relation, so planted unions count their
+    twins exactly like the Python side doubles the footer count)."""
+    return (
+        f"params AS (SELECT least({IVF_MAX_NLIST}, greatest({IVF_NLIST},"
+        f" (count(*) + {IVF_TARGET_CLUSTER - 1}) // {IVF_TARGET_CLUSTER}))"
+        " AS nlist FROM e)"
+    )
+
+
+def _n_vecs(sf_dir: str) -> int:
+    """Corpus row count from the parquet footer(s) — driver-side, no
+    Spark job (same discipline as :func:`_embedding_dim`)."""
+    import glob as _glob
+    import os as _os
+
+    import pyarrow.parquet as _pq
+
+    path = f"{sf_dir.rstrip('/')}/embeddings.parquet"
+    if _os.path.isdir(path):
+        return sum(
+            _pq.ParquetFile(p).metadata.num_rows
+            for p in sorted(_glob.glob(_os.path.join(path, "*.parquet")))
+        )
+    return _pq.ParquetFile(path).metadata.num_rows
 
 
 # Norm hoisting (round-4): norms are loop-invariant across the
@@ -719,10 +773,12 @@ def ivf_topk(
     sf_dir: str,
     k: int = DEFAULT_K,
     n_queries: int = DEFAULT_N_QUERIES,
-    nlist: int = IVF_NLIST,
+    nlist: Optional[int] = None,
     nprobe: int = IVF_NPROBE,
 ) -> DataFrame:
     emb = _emb(spark, sf_dir)
+    if nlist is None:
+        nlist = nlist_for(_n_vecs(sf_dir))
     emb_n = emb.selectExpr(
         "vec_id", "embedding",
         f"{_NORM.format(a='embedding')} as nv",
@@ -784,13 +840,17 @@ def _duck_cos(a: str, b: str) -> str:
     )
 
 
-def _kmeans_ctes_sql(nlist: int) -> str:
+def _kmeans_ctes_sql(nlist) -> str:
     """The DuckDB mirror of :func:`_kmeans_assign` — seeds, first
     assignment, integer-micro Lloyd update, refined assignment — shared
     by the IVF and semantic-dedup oracles so the byte-sensitive CTE
     chain exists ONCE (a ``WITH e AS (...)`` CTE must precede it). The
     seed predicate excludes negative ids exactly like the Spark helper
-    (a no-op for the raw table; load-bearing for planted-twin tables)."""
+    (a no-op for the raw table; load-bearing for planted-twin tables).
+
+    ``nlist`` is an int literal OR a SQL fragment (the dynamic
+    ``(SELECT nlist FROM params)`` of :func:`_nlist_params_sql`, whose
+    CTE the caller must prepend)."""
     cos = _duck_cos
     return f"""seeds AS (SELECT vec_id AS cid, embedding AS c FROM e
           WHERE vec_id >= 0 AND vec_id < {nlist}),
@@ -821,13 +881,15 @@ a2 AS (SELECT vec_id, embedding, cid FROM (
 def ivf_topk_sql(
     k: int = DEFAULT_K,
     n_queries: int = DEFAULT_N_QUERIES,
-    nlist: int = IVF_NLIST,
+    nlist: Optional[int] = None,
     nprobe: int = IVF_NPROBE,
 ) -> str:
     cos = _duck_cos
+    nlist_sql = "(SELECT nlist FROM params)" if nlist is None else str(nlist)
     return f"""
 WITH e AS (SELECT vec_id, embedding FROM embeddings),
-{_kmeans_ctes_sql(nlist)},
+{_nlist_params_sql()},
+{_kmeans_ctes_sql(nlist_sql)},
 probes AS (SELECT qid, q, cid FROM (
              SELECT q.vec_id AS qid, q.embedding AS q, cent.cid,
                     {cos('q.embedding', 'cent.c')} AS sim_micro,
@@ -863,39 +925,154 @@ WHERE rank <= {k}
 # Scale shape: the pairwise compare is confined to cluster-mates — the
 # corpus shuffles ONCE on cid per join side (vectors ride that shuffle
 # once; candidates-then-fetch would fetch per PAIR, strictly more), and
-# at production scale nlist grows ∝ N so the expected cluster stays
-# benchmark-sized (SemDeDup runs 50k clusters on LAION). The
-# MAX_CLUSTER_VECS guard bounds the worst cell: members of an
-# overflowing cluster skip the pairwise and are reported with
-# cluster_overflow = true — explicitly surfaced, never silently scored.
+# nlist grows ∝ N (round 5, :func:`nlist_for`) so the expected cluster
+# stays ~IVF_TARGET_CLUSTER-sized (SemDeDup runs 50k clusters on
+# LAION). Cells that still exceed MAX_CLUSTER_VECS are SPLIT by one
+# deterministic sub-clustering pass (seeds = the cell's lowest
+# non-negative vec_ids, one integer-micro Lloyd step — the exact
+# first-level recipe re-run within the cell, round-4 VERDICT #1);
+# only a cell that remains over-capacity AFTER the split skips the
+# pairwise and is reported with cluster_overflow = true — explicitly
+# surfaced, never silently scored.
 
 SEMANTIC_TAU_MICRO = 900_000
 MAX_CLUSTER_VECS = 4096
+#: sub-cluster fan-out cap: an overflow cell splits into
+#: 2·ceil(n/max) sub-cells (headroom 2× because one Lloyd step does
+#: not balance perfectly), bounded so the per-cell seed array stays
+#: broadcast-join-sized (≤ 64 × dim doubles ≈ 32 KB per cell)
+MAX_SUB_CELLS = 64
+
+
+def _nsub_expr(n_vecs: str, max_cluster_vecs: int) -> str:
+    """Sub-cell count for an overflow cell — identical integer
+    arithmetic in both engines (`div`/`//` are both floor on ints)."""
+    return (
+        f"least({MAX_SUB_CELLS},"
+        f" 2 * (({n_vecs} + {max_cluster_vecs - 1}) div {max_cluster_vecs}))"
+    )
+
+
+def _subcluster_overflow(
+    assign: DataFrame, over: DataFrame, max_cluster_vecs: int
+) -> DataFrame:
+    """Depth-1 sub-clustering of overflow cells (round-4 VERDICT #1).
+
+    ``assign``: the checkpointed first-level assignment (vec_id,
+    embedding, nv, cid); ``over``: (cid, nsub) for cells over capacity.
+    Returns every overflow-cell member with its sub-cell id ``scid``
+    (null when the cell has no non-negative seed vectors).
+
+    Plan shape: the seed selection is a window over the OVERFLOW
+    members only (bounded per cell by the sort, no fan-out); the two
+    assignment joins shuffle overflow members on cid carrying the
+    per-cell centroid arrays (≤ MAX_SUB_CELLS × dim doubles each) —
+    group-wise k-means, never a driver collect (cells are unbounded in
+    count, unlike the first level's ≤ IVF_MAX_NLIST centroids)."""
+    from pyspark.sql.window import Window
+
+    mem = assign.join(F.broadcast(over), "cid")
+    rn = F.row_number().over(
+        Window.partitionBy("cid").orderBy("vec_id")
+    )
+    seeds = (
+        mem.filter("vec_id >= 0")
+        .withColumn("rn", rn)
+        .filter(F.col("rn") <= F.col("nsub"))
+        .selectExpr(
+            "cid",
+            "named_struct('cid', cast(rn - 1 as bigint), 'c', embedding) as s",
+        )
+        .groupBy("cid")
+        .agg(F.expr("array_sort(collect_list(s))").alias("cents"))
+        .selectExpr("cid", _WITH_NB)
+    )
+    a1 = mem.join(seeds, "cid", "left").selectExpr(
+        "cid", "vec_id", "embedding", "nv",
+        f"{_argmax_cell('embedding', 'nv')} as scid",
+    )
+    cent = (
+        a1.filter("scid is not null")
+        .selectExpr("cid", "scid", "posexplode(embedding) as (dim, x)")
+        .selectExpr(
+            "cid", "scid", "dim",
+            "cast(floor(cast(x as double) * 1000000) as bigint) as xm",
+        )
+        .groupBy("cid", "scid", "dim")
+        .agg(F.sum("xm").alias("s"))
+        .groupBy("cid", "scid")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(dim, s))),"
+                " p -> cast(p.s as double))"
+            ).alias("c")
+        )
+        .selectExpr("cid", "named_struct('cid', scid, 'c', c) as s")
+        .groupBy("cid")
+        .agg(F.expr("array_sort(collect_list(s))").alias("cents"))
+        .selectExpr("cid", _WITH_NB)
+    )
+    return mem.join(cent, "cid", "left").selectExpr(
+        "cid", "vec_id", "embedding", "nv",
+        f"{_argmax_cell('embedding', 'nv')} as scid",
+    )
 
 
 def _semantic_dedup_from(
-    emb: DataFrame, tau_micro: int, nlist: int
+    emb: DataFrame,
+    tau_micro: int,
+    nlist: int,
+    max_cluster_vecs: int = MAX_CLUSTER_VECS,
 ) -> DataFrame:
     from deepdoc_api_spark.ops.dedup import _checkpoint
 
     assign, _cent = _kmeans_assign(emb, nlist)
     # the assignment feeds FOUR plan branches (sizes, both pairwise
-    # sides, final verdict join); without materialization each replays
-    # the full clustering subtree — the same multi-consumer shape the
-    # containment op checkpoints (one pass vs four at corpus scale)
+    # sides, final verdict join) plus the sub-cluster pass; without
+    # materialization each replays the full clustering subtree — the
+    # same multi-consumer shape the containment op checkpoints
     assign = _checkpoint(assign, eager=True)
     sizes = assign.groupBy("cid").agg(F.count("*").alias("n_vecs"))
-    ok = sizes.filter(F.col("n_vecs") <= MAX_CLUSTER_VECS).select("cid")
-    members = assign.join(F.broadcast(ok), "cid")
+    over = sizes.filter(F.col("n_vecs") > max_cluster_vecs).selectExpr(
+        "cid", f"{_nsub_expr('n_vecs', max_cluster_vecs)} as nsub"
+    )
+    # Driver-side branch on DATA, not schema: when nothing overflows
+    # (the common case once nlist ∝ N) the whole sub-cluster machinery
+    # — window, two centroid joins, a second checkpoint — would run on
+    # empty relations but still cost stages and a full re-write of the
+    # assignment; both branches produce identical VALUES (the oracle
+    # computes uniformly and its sub-cluster CTEs yield no rows).
+    has_overflow = bool(over.limit(1).count())
+    mult = MAX_SUB_CELLS + 1
+    if has_overflow:
+        sub = _subcluster_overflow(assign, over, max_cluster_vecs)
+        non_over = assign.join(
+            F.broadcast(over.select("cid")), "cid", "left_anti"
+        ).selectExpr("cid", "vec_id", "embedding", "nv",
+                     "cast(null as bigint) as scid")
+        final = _checkpoint(
+            non_over.unionByName(sub).selectExpr(
+                "vec_id", "embedding", "nv",
+                f"cid * {mult} + coalesce(scid + 1, 0) as fcid",
+            ),
+            eager=True,
+        )
+    else:
+        final = assign.selectExpr(
+            "vec_id", "embedding", "nv", f"cid * {mult} as fcid"
+        )
+    sizes2 = final.groupBy("fcid").agg(F.count("*").alias("n_vecs"))
+    ok = sizes2.filter(F.col("n_vecs") <= max_cluster_vecs).select("fcid")
+    members = final.join(F.broadcast(ok), "fcid")
     a = members.selectExpr(
-        "cid", "vec_id as id_a", "embedding as ea", "nv as na"
+        "fcid", "vec_id as id_a", "embedding as ea", "nv as na"
     )
     b = members.selectExpr(
-        "cid", "vec_id as id_b", "embedding as eb", "nv as nb"
+        "fcid", "vec_id as id_b", "embedding as eb", "nv as nb"
     )
     dot = _DOT.format(a="ea", b="eb")
     pairs = (
-        a.join(b, "cid")
+        a.join(b, "fcid")
         .filter("id_a < id_b")
         .selectExpr(
             "id_a",
@@ -916,14 +1093,14 @@ def _semantic_dedup_from(
     # keeper rule: min vec_id of its duplicate neighborhood survives
     # (the same deterministic convention as exact_dedup's keeper)
     return (
-        assign.join(F.broadcast(sizes), "cid")
+        final.join(F.broadcast(sizes2), "fcid")
         .join(per_vec, "vec_id", "left")
         .selectExpr(
             "vec_id",
-            "cast(cid as bigint) as cluster_id",
+            "cast(fcid as bigint) as cluster_id",
             "cast(coalesce(nd, 0) as bigint) as n_dup_partners",
             "coalesce(has_lower = 1, false) as is_semantic_dup",
-            f"n_vecs > {MAX_CLUSTER_VECS} as cluster_overflow",
+            f"n_vecs > {max_cluster_vecs} as cluster_overflow",
         )
     )
 
@@ -932,20 +1109,27 @@ def semantic_dedup(
     spark: SparkSession,
     sf_dir: str,
     tau_micro: int = SEMANTIC_TAU_MICRO,
-    nlist: int = IVF_NLIST,
+    nlist: Optional[int] = None,
+    max_cluster_vecs: int = MAX_CLUSTER_VECS,
 ) -> DataFrame:
     """Per-vector semantic-duplicate verdict over the raw embeddings
     table (bench path; the driver's verify path runs the planted
     variant below — the synthetic vectors are near-random, so the raw
-    op's correct answer flags nothing)."""
-    return _semantic_dedup_from(_emb(spark, sf_dir), tau_micro, nlist)
+    op's correct answer flags nothing). ``nlist`` defaults to
+    :func:`nlist_for` of the footer row count (round 5)."""
+    if nlist is None:
+        nlist = nlist_for(_n_vecs(sf_dir))
+    return _semantic_dedup_from(
+        _emb(spark, sf_dir), tau_micro, nlist, max_cluster_vecs
+    )
 
 
 def semantic_dedup_planted(
     spark: SparkSession,
     sf_dir: str,
     tau_micro: int = SEMANTIC_TAU_MICRO,
-    nlist: int = IVF_NLIST,
+    nlist: Optional[int] = None,
+    max_cluster_vecs: int = MAX_CLUSTER_VECS,
 ) -> DataFrame:
     """Semantic dedup over the table UNIONed with deterministic twins
     (id = -(vec_id + 1), component 1 halved — cos ≈ 0.998): every
@@ -959,23 +1143,82 @@ def semantic_dedup_planted(
         f"{_TWIN_ID_EXPR} as vec_id", f"{_TWIN_EXPR} as embedding"
     )
     aug = emb.select("vec_id", "embedding").unionByName(twins)
-    return _semantic_dedup_from(aug, tau_micro, nlist)
+    if nlist is None:
+        nlist = nlist_for(2 * _n_vecs(sf_dir))
+    return _semantic_dedup_from(aug, tau_micro, nlist, max_cluster_vecs)
 
 
 def _semantic_dedup_sql(
-    source_sql: str, tau_micro: int, nlist: int
+    source_sql: str,
+    tau_micro: int,
+    nlist: Optional[int] = None,
+    max_cluster_vecs: int = MAX_CLUSTER_VECS,
 ) -> str:
+    """DuckDB mirror of :func:`_semantic_dedup_from` incl. the round-5
+    depth-1 sub-clustering: over-capacity cells re-seed from their
+    lowest non-negative vec_ids, one integer-micro Lloyd step, then the
+    final cluster key folds (cid, scid) into ``cid·(MAX_SUB_CELLS+1) +
+    scid+1`` (``+0`` for members of never-split or seedless cells)."""
     cos = _duck_cos
+    nlist_sql = "(SELECT nlist FROM params)" if nlist is None else str(nlist)
+    m = max_cluster_vecs
+    mult = MAX_SUB_CELLS + 1
+    nsub = (
+        f"least({MAX_SUB_CELLS}, 2 * ((n_vecs + {m - 1}) // {m}))"
+    )
     return f"""
 WITH e AS ({source_sql}),
-{_kmeans_ctes_sql(nlist)},
+{_nlist_params_sql()},
+{_kmeans_ctes_sql(nlist_sql)},
 sizes AS (SELECT cid, count(*) AS n_vecs FROM a2 GROUP BY cid),
+over_c AS (SELECT cid, {nsub} AS nsub FROM sizes WHERE n_vecs > {m}),
+mem AS (SELECT a2.vec_id, a2.embedding, a2.cid, over_c.nsub
+        FROM a2 JOIN over_c USING (cid)),
+sseed AS (SELECT cid, scid, c FROM (
+            SELECT cid, nsub, embedding AS c,
+                   row_number() OVER (PARTITION BY cid ORDER BY vec_id)
+                     - 1 AS scid
+            FROM mem WHERE vec_id >= 0)
+          WHERE scid < nsub),
+sb1 AS (SELECT mem.vec_id, mem.embedding, mem.cid, sseed.scid,
+               {cos('mem.embedding', 'sseed.c')} AS sim_micro
+        FROM mem JOIN sseed USING (cid)),
+sa1 AS (SELECT vec_id, embedding, cid, scid FROM (
+          SELECT *, row_number() OVER (PARTITION BY vec_id
+                    ORDER BY sim_micro DESC, scid ASC) AS rn FROM sb1)
+        WHERE rn = 1),
+scomps AS (SELECT cid, scid,
+                  unnest(range(1, len(embedding) + 1)) AS dim,
+                  unnest(list_transform(embedding,
+                         x -> CAST(floor(x::DOUBLE * 1000000) AS BIGINT)))
+                    AS xm
+           FROM sa1),
+scent AS (SELECT cid, scid, list(CAST(s AS DOUBLE) ORDER BY dim) AS c
+          FROM (SELECT cid, scid, dim, sum(xm) AS s FROM scomps
+                GROUP BY cid, scid, dim)
+          GROUP BY cid, scid),
+sb2 AS (SELECT mem.vec_id, mem.cid, scent.scid,
+               {cos('mem.embedding', 'scent.c')} AS sim_micro
+        FROM mem JOIN scent USING (cid)),
+sa2 AS (SELECT vec_id, cid, scid FROM (
+          SELECT *, row_number() OVER (PARTITION BY vec_id
+                    ORDER BY sim_micro DESC, scid ASC) AS rn FROM sb2)
+        WHERE rn = 1),
+fin AS (
+  SELECT a2.vec_id, a2.embedding,
+         a2.cid * {mult} AS fcid
+  FROM a2 WHERE a2.cid NOT IN (SELECT cid FROM over_c)
+  UNION ALL
+  SELECT mem.vec_id, mem.embedding,
+         mem.cid * {mult} + coalesce(sa2.scid + 1, 0) AS fcid
+  FROM mem LEFT JOIN sa2 ON sa2.vec_id = mem.vec_id),
+sizes2 AS (SELECT fcid, count(*) AS n_vecs FROM fin GROUP BY fcid),
 pairs AS (SELECT id_a, id_b, sim_micro FROM (
             SELECT x.vec_id AS id_a, y.vec_id AS id_b,
                    {cos('x.embedding', 'y.embedding')} AS sim_micro
-            FROM a2 x JOIN a2 y USING (cid)
-                 JOIN sizes USING (cid)
-            WHERE x.vec_id < y.vec_id AND sizes.n_vecs <= {MAX_CLUSTER_VECS})
+            FROM fin x JOIN fin y USING (fcid)
+                 JOIN sizes2 USING (fcid)
+            WHERE x.vec_id < y.vec_id AND sizes2.n_vecs <= {m})
           WHERE sim_micro >= {tau_micro}),
 partners AS (SELECT id_a AS vec_id, id_b AS partner FROM pairs
              UNION ALL
@@ -984,18 +1227,20 @@ per_vec AS (SELECT vec_id, count(*) AS nd,
                    max(CASE WHEN partner < vec_id THEN 1 ELSE 0 END)
                      AS has_lower
             FROM partners GROUP BY vec_id)
-SELECT a2.vec_id,
-       a2.cid::BIGINT AS cluster_id,
+SELECT fin.vec_id,
+       fin.fcid::BIGINT AS cluster_id,
        coalesce(per_vec.nd, 0)::BIGINT AS n_dup_partners,
        coalesce(per_vec.has_lower, 0) = 1 AS is_semantic_dup,
-       sizes.n_vecs > {MAX_CLUSTER_VECS} AS cluster_overflow
-FROM a2 JOIN sizes USING (cid)
-     LEFT JOIN per_vec ON per_vec.vec_id = a2.vec_id
+       sizes2.n_vecs > {m} AS cluster_overflow
+FROM fin JOIN sizes2 USING (fcid)
+     LEFT JOIN per_vec ON per_vec.vec_id = fin.vec_id
 """
 
 
 def semantic_dedup_planted_sql(
-    tau_micro: int = SEMANTIC_TAU_MICRO, nlist: int = IVF_NLIST
+    tau_micro: int = SEMANTIC_TAU_MICRO,
+    nlist: Optional[int] = None,
+    max_cluster_vecs: int = MAX_CLUSTER_VECS,
 ) -> str:
     src = (
         "SELECT vec_id, embedding FROM embeddings"
@@ -1003,4 +1248,4 @@ def semantic_dedup_planted_sql(
         f"SELECT -(vec_id + 1) AS vec_id, {_TWIN_SQL} AS embedding"
         " FROM embeddings"
     )
-    return _semantic_dedup_sql(src, tau_micro, nlist)
+    return _semantic_dedup_sql(src, tau_micro, nlist, max_cluster_vecs)
