@@ -50,7 +50,14 @@ def test_query_matches_oracle(spark, sf_dir, name):
     scols = sdf.columns
 
     con = _duck(sf_dir)
-    res = con.execute(entry_mod.oracle_sql()[name])
+    sql = entry_mod.oracle_sql()[name]
+    if name == "rng_chunk_checksums":
+        # the entry-module SQL pins the driver's sf0.01 golden; the
+        # local replica regenerates the golden for the test sf_dir
+        from deepdoc_api_spark.ops.rng_oracle import rng_chunk_checksums_sql
+
+        sql = rng_chunk_checksums_sql(sf_dir)
+    res = con.execute(sql)
     dcols = [d[0] for d in res.description]
     drows = [tuple(_norm(v) for v in row) for row in res.fetchall()]
 
@@ -69,20 +76,22 @@ def test_rows_only_queries_run(spark, sf_dir):
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
     rows_only = [k for k in qs if k not in oracles]
-    # after the round-4 consolidation the rows-only family is exactly
-    # the five extract_chunks_* pipelines — run ALL of them, so a
-    # driver-side crash in their projections surfaces here, not in the
-    # live driver run
+    # after the round-5 consolidation the rows-only family is exactly
+    # four extract_chunks_* pipelines (fallback rotated out for the
+    # oracle-bearing rng_chunk_checksums, which value-covers all five
+    # chunkers) — run ALL of them plus the rotated-out fallback
+    # pipeline, so a driver-side crash in their projections surfaces
+    # here, not in the live driver run
     assert set(rows_only) == {
         "extract_chunks_hybrid",
         "extract_chunks_hierarchical",
         "extract_chunks_toc",
         "extract_chunks_mineru",
-        "extract_chunks_fallback",
     }, rows_only
     for k in rows_only:
         n = qs[k](spark, sf_dir).count()
         assert n > 0, k
+    assert entry_mod._q_chunks("fallback")(spark, sf_dir).count() > 0
 
 
 def test_media_kind_histogram_pinned(spark, sf_dir):
