@@ -126,11 +126,35 @@ def normalize_bbox(obj: Optional[Dict]) -> Optional[Dict]:
 
 @lru_cache(maxsize=65536)
 def span_bbox(offset: int) -> Optional[Dict]:
-    """Canonical bbox of a span: synthesize raw provenance, normalize.
+    """Canonical bbox of a span — the closed form of
+    ``normalize_bbox(raw_bbox(offset))``.
 
-    Memoized per worker: offsets are small integers that repeat heavily
-    across documents, and the returned dict is never mutated downstream
-    (chunks reference it read-only), so sharing instances is safe and
-    drops the per-record synthesis+probing cost from the hot kernel.
+    The synthetic provenance always carries a complete box in one of
+    the four conventions, and every convention normalizes to the same
+    canonical values (coordinates are small integers-as-floats, so the
+    derived ``right - left`` width is exactly ``w``); the round-5 fused
+    form skips the per-span probe machinery on the hot kernel path
+    (measured ~8% of kernel CPU). Equivalence with the probing path is
+    pinned by tests/test_kernel_layout.py::test_span_bbox_fused_equals_
+    normalized over a wide offset sweep; layout sources with REAL raw
+    provenance still go through :func:`normalize_bbox` (the
+    reference-semantics path, 3000-case differential).
+
+    Memoized per worker: offsets repeat across documents and the
+    returned dict is never mutated downstream (chunks reference it
+    read-only), so sharing instances is safe.
     """
-    return normalize_bbox(raw_bbox(offset))
+    off = int(offset or 0)
+    y0 = float(off % _PAGE_SIZE)
+    x0 = float((off * 37) % 400)
+    w = float(100 + (off * 13) % 300)
+    h = float(10 + (off * 7) % 40)
+    return {
+        "left": x0,
+        "top": y0,
+        "right": x0 + w,
+        "bottom": y0 + h,
+        "width": w,
+        "height": h,
+        "area": w * h,
+    }

@@ -267,3 +267,20 @@ def test_sort_reading_order_restores_page_top_left():
              "media_ref": "m", "page": 1, "offset": 0, "bbox": None}]
     out = [r["content"] for r in sort_reading_order(mixed)]
     assert out == ["", "y"]
+
+
+def test_span_bbox_fused_equals_normalized():
+    """Round-5 perf pass: span_bbox is the closed form of
+    normalize_bbox(raw_bbox(offset)) — the fused fast path must equal
+    the reference-semantics probing path for every convention residue
+    and across page/modulus boundaries."""
+    from deepdoc_api_spark.kernels.bbox import (
+        normalize_bbox,
+        raw_bbox,
+        span_bbox,
+    )
+
+    offsets = list(range(0, 4096))
+    offsets += [10**k + r for k in range(4, 10) for r in range(8)]
+    for off in offsets:
+        assert span_bbox(off) == normalize_bbox(raw_bbox(off)), off

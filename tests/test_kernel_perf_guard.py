@@ -14,9 +14,11 @@ from deepdoc_api_spark.datagen import gen_doc_spans
 from deepdoc_api_spark.kernels.pipeline import chunk_document
 
 # measured on this corpus mix (sf0.001 docs modulo-replicated to 400,
-# giants included): ~2.35 s at calib ~0.40 -> ratio ~5.9. The guard
-# trips on a ~70% kernel-CPU regression.
-MAX_RATIO = 10.0
+# giants included): round-4 ~2.35 s at calib ~0.40 (ratio ~5.9);
+# round-5 kernel pass (fused span_bbox, scanner bindings, split-join
+# _norm) ~1.49 s at calib ~0.36 (ratio ~4.2). The guard trips on a
+# ~65% kernel-CPU regression from the round-5 level.
+MAX_RATIO = 7.0
 # a calib this slow (>4x the idle-box 0.35 s) means the box is swamped;
 # normalization across that much contention is not trustworthy -> skip
 CALIB_SKIP_S = 1.5
