@@ -43,6 +43,9 @@ from ..schema import CHUNK_COLUMNS, CHUNK_DDL, SPANS_DDL
 DEFAULT_SKEW_THRESHOLD = 4000
 #: spans per extraction shard on the giant path
 SHARD_SPANS = 512
+#: span-cache entries idle longer than this are sweepable (mtime is
+#: refreshed on every cache hit, so this measures idleness, not age)
+_CACHE_SWEEP_AGE_S = 6 * 3600
 
 _RECORD_RAW_DDL = (
     "doc_id string, pos int, rec_idx int, kind string, content string, "
@@ -119,8 +122,15 @@ def spans_parquet_cached(
     conf can disable); the loser of the rename discards its tmp and
     reads the winner's output (identical — the corpus is
     deterministic). New generations evict superseded ones for the same
-    (source, replicate), and orphaned tmp dirs older than an hour are
-    swept, so the shared cache stays bounded across sessions.
+    (source, replicate), and orphaned tmp dirs are swept, both guarded
+    by ``_CACHE_SWEEP_AGE_S`` (6 h) of idleness, so the shared cache
+    stays bounded across sessions. Every cache HIT touches the dir
+    mtime, so the age guard counts from last *use* — an actively-read
+    generation is never evicted under a live session; only a session
+    idle longer than the guard can lose a superseded generation, and
+    its next action then fails with a parquet path/IO error whose
+    remedy is simply re-running the query (regeneration is
+    deterministic).
     """
     import hashlib
     import os
@@ -153,26 +163,36 @@ def spans_parquet_cached(
     )
     suffix = f"-s{key}-r{replicate}"
     dest = os.path.join(root, f"g{gen_ver}-d{data_ver}{suffix}")
-    if not os.path.isdir(dest):
+    if os.path.isdir(dest):
+        # cache hit: refresh the mtime so the idle-age sweep below
+        # counts from last USE — a generation under active reads can
+        # never age out beneath a live session (round-4 ADVICE)
+        try:
+            os.utime(dest, None)
+        except OSError:
+            pass
+    else:
         os.makedirs(root, exist_ok=True)
         # Best-effort sweep of superseded generations of this (source,
         # replicate) and of tmp dirs abandoned by crashed writers. Both
-        # are age-guarded at 6 h: a tmp younger than that may belong to
-        # a LIVE writer (Spark only sets the dir mtime at job start),
-        # and a superseded generation younger than that may still be
-        # lazily read by a session that opened it before the input
-        # changed. Residual race (documented, accepted for a test-data
-        # cache): a reader session older than 6 h that still holds
-        # DataFrames over a superseded generation would fail its next
-        # action after eviction — re-running the query regenerates
-        # deterministically. Every stat/rmtree is exception-guarded:
-        # a concurrent sweeper or renamer can remove entries between
-        # listdir and stat (TOCTOU), which must never abort this run.
+        # are age-guarded at _CACHE_SWEEP_AGE_S of IDLENESS (mtime is
+        # refreshed on every cache hit above): a tmp younger than that
+        # may belong to a LIVE writer (Spark only sets the dir mtime at
+        # job start), and a superseded generation younger than that may
+        # still be lazily read by a session that opened it before the
+        # input changed. Residual race (documented, accepted for a
+        # test-data cache): a session IDLE beyond the guard that still
+        # holds DataFrames over a superseded generation fails its next
+        # action with a parquet path/IO error — re-running the query
+        # regenerates deterministically. Every stat/rmtree is
+        # exception-guarded: a concurrent sweeper or renamer can remove
+        # entries between listdir and stat (TOCTOU), which must never
+        # abort this run.
         now = time.time()
         for name in os.listdir(root):
             full = os.path.join(root, name)
             try:
-                old = now - os.path.getmtime(full) > 6 * 3600
+                old = now - os.path.getmtime(full) > _CACHE_SWEEP_AGE_S
                 stale_gen = (
                     old
                     and name.endswith(suffix)

@@ -867,48 +867,61 @@ def ngram_doc_frequency_sql(min_df: Optional[int] = None, top_k: int = 100) -> s
 # ---------------------------------------------------------------------------
 
 
-def _checkpoint(df: DataFrame, eager: bool) -> DataFrame:
-    """Lineage truncation, pluggable by session config: reliable
+def _checkpoint(df: DataFrame, eager: bool = True) -> DataFrame:
+    """Eager lineage truncation, pluggable by session config: reliable
     ``checkpoint()`` when the context has a checkpoint dir (the cluster
     deployment — survives executor loss), else ``localCheckpoint()``
     (single-node/test default). Round-2 verdict item: the mechanism was
-    hard-wired to localCheckpoint."""
+    hard-wired to localCheckpoint. For a lazy checkpoint use
+    :func:`_checkpoint_lazy`, whose release obligation is explicit in
+    its return type (round-4 ADVICE: the old lazy branch hid the
+    pinned persist behind a private DataFrame attribute)."""
+    if not eager:
+        raise ValueError("use _checkpoint_lazy for the lazy variant")
     sc = df.sparkSession.sparkContext
     try:
         has_dir = sc.getCheckpointDir() is not None
     except Exception:
         has_dir = False
     if not has_dir:
-        return df.localCheckpoint(eager=eager)
+        return df.localCheckpoint(eager=True)
     # Reliable checkpointing recomputes the full lineage in a SECOND
     # pass after the first action unless the data is already cached
     # (round-3 ADVICE) — persist first so the cluster branch keeps the
     # one-job-per-round property, then drop the cache once the
-    # checkpoint files exist. For eager=False the unpersist must wait
-    # for the caller's materializing action, so the lazy branch keeps
-    # the persist alive (bounded: one RDD per propagation round, and
-    # Spark evicts LRU under memory pressure).
-    if eager:
-        df = df.persist()
-        out = df.checkpoint(eager=True)
-        df.unpersist()
-        return out
-    persisted = df.persist()
-    out = persisted.checkpoint(eager=False)
-    # the caller's materializing action both computes the cache and
-    # writes the checkpoint files; it then releases the cache via
-    # _release_checkpoint_cache (safe: later reads hit the files)
-    out._ddspark_persisted_src = persisted
+    # checkpoint files exist.
+    df = df.persist()
+    out = df.checkpoint(eager=True)
+    df.unpersist()
     return out
 
 
-def _release_checkpoint_cache(df: DataFrame) -> None:
-    src = getattr(df, "_ddspark_persisted_src", None)
-    if src is not None:
+def _checkpoint_lazy(df: DataFrame):
+    """Lazy variant of :func:`_checkpoint`: returns ``(out, release)``.
+
+    The caller's next materializing action over ``out`` both computes
+    the data and writes the checkpoint; the caller MUST then invoke
+    ``release()`` to drop the bridging persist (safe: later reads hit
+    the checkpoint files). The explicit pair makes the obligation part
+    of the API — a forgotten ``release()`` is visible at the call site
+    instead of silently pinning one RDD per call (round-4 ADVICE)."""
+    sc = df.sparkSession.sparkContext
+    try:
+        has_dir = sc.getCheckpointDir() is not None
+    except Exception:
+        has_dir = False
+    if not has_dir:
+        return df.localCheckpoint(eager=False), (lambda: None)
+    persisted = df.persist()
+    out = persisted.checkpoint(eager=False)
+
+    def release() -> None:
         try:
-            src.unpersist()
+            persisted.unpersist()
         except Exception:
             pass
+
+    return out, release
 
 
 def _label_components(pairs: DataFrame, max_iterations: int = 1000) -> DataFrame:
@@ -946,17 +959,16 @@ def _label_components(pairs: DataFrame, max_iterations: int = 1000) -> DataFrame
             .groupBy("doc_id")
             .agg(F.min("component").alias("neighbor_component"))
         )
-        improved = _checkpoint(
+        improved, release = _checkpoint_lazy(
             labels.join(neighbor_min, "doc_id", "left").selectExpr(
                 "doc_id",
                 "component",
                 "least(component, coalesce(neighbor_component, component))"
                 " as new_component",
             ),
-            eager=False,  # materialized BY the count below: one job/round
-        )
+        )  # materialized BY the count below: one job/round
         n_changed = improved.filter("new_component != component").count()
-        _release_checkpoint_cache(improved)
+        release()
         labels = improved.selectExpr("doc_id", "new_component as component")
         if n_changed == 0:
             return labels

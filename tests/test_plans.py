@@ -274,7 +274,7 @@ def test_checkpoint_dispatch_is_pluggable(spark, monkeypatch):
     """With a checkpoint dir on the context, lineage truncation must go
     through reliable checkpointing (executor-loss-safe on a cluster);
     without one, localCheckpoint."""
-    from deepdoc_api_spark.ops.dedup import _checkpoint
+    from deepdoc_api_spark.ops.dedup import _checkpoint, _checkpoint_lazy
 
     df = spark.range(4).selectExpr("id as doc_a", "id + 1 as doc_b")
     calls = []
@@ -294,8 +294,9 @@ def test_checkpoint_dispatch_is_pluggable(spark, monkeypatch):
     monkeypatch.setattr(
         type(spark.sparkContext), "getCheckpointDir", lambda self: "/ckpt/dir"
     )
-    _checkpoint(df, eager=False)
+    out, release = _checkpoint_lazy(df)
     assert calls == ["local", "reliable"]
+    release()  # the explicit pair makes the unpersist obligation visible
 
 
 def test_ivf_topk_shape_and_recall(spark, sf_dir):
