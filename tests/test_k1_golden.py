@@ -358,3 +358,92 @@ def test_g8_nested_list_merge_under_budget():
         ch["text"].partition("\n")[2] for ch in chunks
     )
     assert rejoined == " ".join(" ".join(big).split())
+
+
+def test_g10_peer_merge_crosses_page_boundaries():
+    """G10 (round-5 expansion): docling's HybridChunker merges
+    same-metadata peers by comparing ``meta.headings``/``meta.captions``
+    only — provenance pages play no part in the predicate, and the
+    merged chunk's provenance is the union of its contributors'
+    (docling-core ``chunking/hybrid_chunker.py``
+    ``_merge_chunks_with_matching_metadata``; ``DocMeta.doc_items``
+    accumulates provenance). A page break between two text peers must
+    NOT break the merge; the chunk carries both pages. A media item
+    between them DOES break it (docling: a PictureItem is its own
+    chunk boundary; G6)."""
+    chunks = hybrid_chunks(
+        [
+            rec("title", "Head"),
+            rec("text", "one two three", page=2),
+            rec("text", "four five", page=3),
+        ],
+        budget=512,
+    )
+    assert [(c["kind"], c["text"], c["pages"]) for c in chunks] == [
+        ("text", "Head\none two three\nfour five", [2, 3])
+    ]
+
+    chunks = hybrid_chunks(
+        [
+            rec("title", "Head"),
+            rec("text", "one two three", page=2),
+            rec("media", "", page=2, media_ref="m://x"),
+            rec("text", "four five", page=3),
+        ],
+        budget=512,
+    )
+    assert [(c["kind"], c["pages"]) for c in chunks] == [
+        ("text", [2]),
+        ("media", [2]),
+        ("text", [3]),
+    ]
+
+
+def test_g11_list_merge_requires_consecutive_items():
+    """G11 (round-5 expansion): docling's ``merge_list_items=True``
+    merges only CONSECUTIVE list items (docling-core
+    ``chunking/hierarchical_chunker.py`` accumulates ``ListItem``s and
+    flushes the group when a non-list item arrives) — a text item
+    between two list items yields two separate list elements, and the
+    later list does NOT reach back across the text."""
+    chunks = hybrid_chunks(
+        [
+            rec("title", "Head"),
+            rec("list", "- a"),
+            rec("text", "interruption text goes here to pass min"),
+            rec("list", "- b"),
+        ],
+        budget=512,
+    )
+    assert [(c["kind"], c["text"]) for c in chunks] == [
+        ("list", "Head\n- a"),
+        ("text", "Head\ninterruption text goes here to pass min"),
+        ("list", "Head\n- b"),
+    ]
+
+
+def test_g12_heading_stack_trims_to_level_then_appends():
+    """G12 (round-5 expansion): heading levels drive the context stack
+    — a new heading first TRIMS the stack to ``level - 1`` entries,
+    then appends itself (docling-core HierarchicalChunker keys heading
+    context by level: a same-level heading REPLACES its predecessor, a
+    deeper one nests, a shallower one pops everything below it). Level
+    = dotted-number depth of the leading section number, else 1 (the
+    engine's documented level source, kernels/toc.py:_title_level)."""
+    seq = [
+        rec("title", "1 Intro"),
+        rec("text", "alpha beta"),
+        rec("title", "1.1 Sub"),
+        rec("text", "gamma delta"),
+        rec("title", "2 Next"),
+        rec("text", "epsilon zeta"),
+    ]
+    chunks = hybrid_chunks(seq, budget=512)
+    assert [(tuple(c["headings"]), c["text"]) for c in chunks] == [
+        (("1 Intro",), "1 Intro\nalpha beta"),
+        (("1 Intro", "1.1 Sub"), "1 Intro\n1.1 Sub\ngamma delta"),
+        (("2 Next",), "2 Next\nepsilon zeta"),
+    ]
+    # and merges never bridge a heading change (distinct meta — G10's
+    # predicate seen from the negative side)
+    assert len(chunks) == 3
