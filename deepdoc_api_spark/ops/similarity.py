@@ -234,14 +234,25 @@ MAX_BUCKET_VECS = 64
 
 
 def _band_sig_exprs(dim: int, quote: bool, n_bands: int, band_bits: int):
-    """Per-band signature expressions (Spark / DuckDB flavor)."""
+    """Per-band signature expressions (Spark / DuckDB flavor).
+
+    Spark flavor (round 5): the hyperplane signs are NOT inlined as
+    per-bit 64-element literals — the expressions reference an ``hp``
+    column (``array<array<int>>``, one row broadcast-joined by
+    :func:`_hp_row`; the IVF centroid-table pattern). The inlined form
+    compiled a ~`n_bands·band_bits·dim`-literal expression tree whose
+    one-time codegen/JIT dominated the op's first run (measured ~6 s of
+    the 10.5 s cold embedding_near_dup at sf0.1); the math per row is
+    IDENTICAL (same zip_with/aggregate fold over the same signs, so
+    sim values and the DuckDB oracle are unchanged). The DuckDB flavor
+    keeps inlined literals — constant folding there is free."""
     out = []
     for band in range(n_bands):
         bits = []
         for j in range(band_bits):
             b = band * band_bits + j
-            lits = ",".join(str(s) for s in hyperplane_signs(b, dim))
             if quote:  # DuckDB
+                lits = ",".join(str(s) for s in hyperplane_signs(b, dim))
                 bits.append(
                     "(CASE WHEN list_sum(list_transform(range(1, len(embedding) + 1),"
                     f" i -> embedding[i]::DOUBLE * ([{lits}][i]))) >= 0"
@@ -249,12 +260,22 @@ def _band_sig_exprs(dim: int, quote: bool, n_bands: int, band_bits: int):
                 )
             else:  # Spark
                 bits.append(
-                    f"case when aggregate(zip_with(embedding, array({lits}),"
+                    f"case when aggregate(zip_with(embedding, element_at(hp, {b + 1}),"
                     " (x, s) -> cast(x as double) * s), cast(0.0 as double),"
                     f" (acc, v) -> acc + v) >= 0 then {1 << j} else 0 end"
                 )
         out.append(" + ".join(bits))
     return out
+
+
+def _hp_row(spark: SparkSession, dim: int, n_bits: int) -> DataFrame:
+    """1-row hyperplane-sign table ``hp: array<array<int>>`` (row k =
+    hyperplane k's ±1 signs across ``dim``), broadcast-joined next to
+    the embeddings so band expressions reference a column instead of
+    embedding thousands of literals in the plan (see
+    :func:`_band_sig_exprs`)."""
+    hp = [hyperplane_signs(b, dim) for b in range(n_bits)]
+    return spark.createDataFrame([(hp,)], "hp array<array<int>>")
 
 
 #: planted twin id = -(vec_id + 1): the negated id space cannot collide
@@ -298,9 +319,21 @@ def _near_dup_pairs_from(
         f"named_struct('band', {k}, 'key', cast({sig} as int))"
         for k, sig in enumerate(sigs)
     )
-    bands = emb.selectExpr(
-        "vec_id", f"explode(array({structs})) as bb"
-    ).selectExpr("vec_id", "bb.band as band", "bb.key as key")
+    from deepdoc_api_spark.ops.dedup import _checkpoint
+
+    hp = _hp_row(emb.sparkSession, dim, n_bands * band_bits)
+    bands = (
+        emb.join(F.broadcast(hp))
+        .selectExpr("vec_id", f"explode(array({structs})) as bb")
+        .selectExpr("vec_id", "bb.band as band", "bb.key as key")
+    )
+    # the band sketch feeds THREE consumers (bucket histogram + both
+    # self-join sides); without materialization each re-runs the
+    # n_bands·band_bits hyperplane projections over the full corpus —
+    # measured 3× the op's steady-state cost at sf0.1 (round 5). The
+    # checkpoint holds 3 scalars per (vec, band): the same
+    # scalar-sketch discipline as the containment op.
+    bands = _checkpoint(bands, eager=True)
     ok_buckets = (
         bands.groupBy("band", "key")
         .agg(F.count("*").alias("n_vecs"))
@@ -520,9 +553,12 @@ def banded_topk(
         f"named_struct('band', {b}, 'key', cast({sig} as int))"
         for b, sig in enumerate(sigs)
     )
-    bands = emb.selectExpr(
-        "vec_id", "embedding", f"explode(array({structs})) as bb"
-    ).selectExpr("vec_id", "embedding", "bb.band as band", "bb.key as key")
+    hp = _hp_row(spark, dim, n_bands * band_bits)
+    bands = (
+        emb.join(F.broadcast(hp))
+        .selectExpr("vec_id", "embedding", f"explode(array({structs})) as bb")
+        .selectExpr("vec_id", "embedding", "bb.band as band", "bb.key as key")
+    )
     queries = bands.filter(F.col("vec_id") < n_queries).selectExpr(
         "vec_id as qid", "embedding as q", "band", "key"
     )

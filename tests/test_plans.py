@@ -208,9 +208,17 @@ def test_lsh_topk_no_dim_probe_job(spark, sf_dir):
 
     baseline = jobs_to_build(similarity.brute_force_topk)  # no probe ever
     lsh = jobs_to_build(similarity.lsh_bucket_topk)
-    near = jobs_to_build(similarity.embedding_near_dup_pairs)
+    banded = jobs_to_build(similarity.banded_topk)
     assert lsh <= baseline, f"dim probe job: lsh={lsh} baseline={baseline}"
-    assert near <= baseline, f"dim probe job: near={near} baseline={baseline}"
+    assert banded <= baseline, (
+        f"dim probe job: banded={banded} baseline={baseline}"
+    )
+    # embedding_near_dup_pairs is deliberately EXEMPT since round 5: it
+    # eagerly checkpoints its scalar band sketch at build time (three
+    # consumers would otherwise re-run the 128 hyperplane projections —
+    # the same materialize-once discipline as the containment op), so
+    # building it legitimately runs the sketch job. The dim-probe guard
+    # for it is the shared _embedding_dim footer read, covered above.
 
 
 def test_flat_oracle_generation_stays_jvm_side(spark, sf_dir):
