@@ -718,3 +718,118 @@ SELECT doc_id, count(*)::BIGINT AS matched_ngrams,
 FROM train_grams JOIN eval_grams USING (g)
 GROUP BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# fixed-window corpus dedup — the APPLY step at sub-document granularity
+# ---------------------------------------------------------------------------
+#
+# Document-level dedup (exact_dedup / near-dup verdicts) drops whole
+# documents; training pipelines ALSO deduplicate repeated sub-document
+# content across the corpus — C4 removed any three-sentence span
+# occurring more than once ("Exploring the Limits of Transfer
+# Learning", Raffel et al. 2020, §2.2) and Lee et al. 2022 dedup
+# repeated substrings. The corpus here has no sentence punctuation, so
+# the unit is a fixed WINDOW_DEDUP_W-word non-overlapping window: every
+# window occurring elsewhere in the corpus is dropped from all but its
+# FIRST occurrence (min (doc_id, pos) — the same deterministic keeper
+# convention as exact_dedup), and the cleaned document text is
+# reconstructed from the surviving windows plus the sub-window tail.
+#
+# Scale shape: one explode to O(total windows) scalar rows, keeper
+# resolution is a map-side-combinable min(struct(doc_id, pos)) agg on
+# the window text (no windows/no self-join — the classic wordcount
+# shuffle), re-assembly groups by doc_id. At 100 TB the window-text
+# shuffle key can be md5'd to bound key bytes; kept verbatim here so
+# the oracle shares the exact key.
+
+WINDOW_DEDUP_W = 10
+
+
+def window_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = WINDOW_DEDUP_W
+    t = (
+        spark.read.parquet(f"{sf_dir.rstrip('/')}/documents.parquet")
+        .repartition(spark.sparkContext.defaultParallelism * 2, "doc_id")
+        .selectExpr("doc_id", "split(trim(lower(text)), '\\\\s+') as w")
+    )
+    wins = t.selectExpr(
+        "doc_id",
+        f"posexplode(transform(sequence(1, size(w) div {w}),"
+        f" i -> array_join(slice(w, (i - 1) * {w} + 1, {w}), ' ')))"
+        " as (pos0, sent)",
+    ).selectExpr("doc_id", "cast(pos0 + 1 as int) as pos", "sent")
+    keepers = wins.groupBy("sent").agg(
+        F.expr("min(struct(doc_id, pos))").alias("k"),
+        F.count("*").alias("occ"),
+    )
+    marked = wins.join(keepers, "sent").selectExpr(
+        "doc_id",
+        "pos",
+        "sent",
+        "(k.doc_id = doc_id and k.pos = pos) as kept",
+    )
+    per_doc = marked.groupBy("doc_id").agg(
+        F.count("*").alias("n_windows"),
+        F.sum(F.expr("cast(not kept as int)")).alias("n_dropped"),
+        F.expr(
+            "array_join(transform(filter(array_sort("
+            "collect_list(struct(pos, sent, kept))), p -> p.kept),"
+            " p -> p.sent), ' ')"
+        ).alias("kept_text"),
+    )
+    return (
+        t.join(per_doc, "doc_id", "left")
+        .selectExpr(
+            "doc_id",
+            "coalesce(n_windows, 0) as n_windows",
+            "coalesce(n_dropped, 0) as n_dropped",
+            # cleaned = surviving windows + the sub-window word tail;
+            # concat_ws skips nulls, so either side may be absent
+            f"concat_ws(' ', nullif(kept_text, ''),"
+            f" nullif(array_join(slice(w, (size(w) div {w}) * {w} + 1,"
+            f" size(w) - (size(w) div {w}) * {w}), ' '), '')) as cleaned",
+        )
+        .selectExpr(
+            "doc_id",
+            "cast(n_windows as bigint) as n_windows",
+            "cast(n_dropped as bigint) as n_dropped",
+            "cast(length(cleaned) as bigint) as cleaned_chars",
+            "md5(cleaned) as cleaned_fp",
+        )
+    )
+
+
+def window_dedup_sql() -> str:
+    w = WINDOW_DEDUP_W
+    return f"""
+WITH t AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS w
+           FROM documents),
+wins AS (SELECT doc_id, i::INTEGER AS pos,
+                array_to_string(w[(i - 1) * {w} + 1 : i * {w}], ' ') AS sent
+         FROM t, unnest(range(1, 1 + len(w) // {w})) AS u(i)),
+keep AS (SELECT sent, min(struct_pack(d := doc_id, p := pos)) AS k
+         FROM wins GROUP BY sent),
+marked AS (SELECT wins.doc_id, wins.pos, wins.sent,
+                  (keep.k.d = wins.doc_id AND keep.k.p = wins.pos) AS kept
+           FROM wins JOIN keep USING (sent)),
+per_doc AS (SELECT doc_id, count(*) AS n_windows,
+                   sum(CASE WHEN kept THEN 0 ELSE 1 END) AS n_dropped,
+                   array_to_string(list(sent ORDER BY pos)
+                     FILTER (WHERE kept), ' ') AS kept_text
+            FROM marked GROUP BY doc_id),
+clean AS (SELECT t.doc_id,
+                 coalesce(per_doc.n_windows, 0) AS n_windows,
+                 coalesce(per_doc.n_dropped, 0) AS n_dropped,
+                 concat_ws(' ', nullif(per_doc.kept_text, ''),
+                   nullif(array_to_string(
+                     w[(len(w) // {w}) * {w} + 1 : len(w)], ' '), ''))
+                   AS cleaned
+          FROM t LEFT JOIN per_doc USING (doc_id))
+SELECT doc_id,
+       n_windows::BIGINT AS n_windows,
+       n_dropped::BIGINT AS n_dropped,
+       length(cleaned)::BIGINT AS cleaned_chars,
+       md5(cleaned) AS cleaned_fp
+FROM clean
+"""

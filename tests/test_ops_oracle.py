@@ -197,3 +197,61 @@ def test_simhash16_parity_pinned(spark, sf_dir):
     drows = [tuple(_norm(v) for v in row) for row in res.fetchall()]
     assert sdf.columns == dcols
     assert sorted(srows) == sorted(drows) and len(srows) > 0
+
+
+def test_length_histogram_parity_pinned(spark, sf_dir):
+    """length_histogram left queries() in round 5 (replaced by the
+    oracle-bearing window_dedup apply step); this keeps it value-exact
+    against its DuckDB oracle."""
+    from deepdoc_api_spark.ops.text_analysis import (
+        LENGTH_HISTOGRAM_SQL,
+        length_histogram,
+    )
+
+    sdf = length_histogram(spark, sf_dir)
+    srows = [tuple(_norm(v) for v in row) for row in sdf.collect()]
+    res = _duck(sf_dir).execute(LENGTH_HISTOGRAM_SQL)
+    dcols = [d[0] for d in res.description]
+    drows = [tuple(_norm(v) for v in row) for row in res.fetchall()]
+    assert sdf.columns == dcols
+    assert sorted(srows) == sorted(drows) and len(srows) > 0
+
+
+def test_window_dedup_semantics(spark, sf_dir):
+    """The fixed-window dedup must (a) find real cross-doc duplicates
+    on this corpus (non-vacuous), (b) keep exactly ONE occurrence of
+    every duplicated window (the min-(doc_id,pos) keeper), and (c)
+    leave sub-window tails untouched (cleaned length only shrinks by
+    whole windows)."""
+    from deepdoc_api_spark.ops.text_analysis import (
+        WINDOW_DEDUP_W,
+        window_dedup,
+    )
+
+    rows = window_dedup(spark, sf_dir).collect()
+    assert sum(r.n_dropped for r in rows) > 0, "vacuous: no duplicates"
+    assert all(r.n_dropped <= r.n_windows for r in rows)
+
+    # re-derive the keeper rule independently from the raw text
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        "create view documents as select * from"
+        f" read_parquet('{sf_dir}/documents.parquet')"
+    )
+    w = WINDOW_DEDUP_W
+    total, uniq = con.execute(
+        f"""
+        WITH t AS (SELECT doc_id,
+                     regexp_split_to_array(trim(lower(text)), '\\s+') AS w
+                   FROM documents),
+        s AS (SELECT doc_id,
+                     array_to_string(w[(i-1)*{w}+1 : i*{w}], ' ') AS sent
+              FROM t, unnest(range(1, 1 + len(w) // {w})) AS u(i))
+        SELECT count(*), count(DISTINCT sent) FROM s
+        """
+    ).fetchone()
+    assert sum(r.n_dropped for r in rows) == total - uniq, (
+        "dropped count must equal duplicate occurrences (keep-one rule)"
+    )
