@@ -167,7 +167,16 @@ def run_bench(sf_dir: str, cpus: int, replicate: int) -> dict:
 
         from deepdoc_api_spark.ops import fallback_text
 
-        for name, fn in (
+        # Two passes per ops query: the FIRST-run number stays the
+        # primary series (`queries`, comparable to every earlier
+        # round), the second lands in `queries_warm` — steady-state
+        # cost with plan/codegen/JIT constants amortized, i.e. what a
+        # long-running cluster pays per invocation. At this test scale
+        # the one-time constants dominate several similarity queries
+        # (measured identical across code rounds), so the warm series
+        # is the scale-relevant signal.
+        warm: dict = {}
+        ops_queries = (
             ("dedup_minhash_lsh", dedup.lsh_band_buckets),
             ("dedup_jaccard_pairs", dedup.jaccard_near_dup_pairs),
             ("dedup_simhash", dedup.simhash16),
@@ -179,20 +188,23 @@ def run_bench(sf_dir: str, cpus: int, replicate: int) -> dict:
             ("dedup_containment", dedup.containment_near_dup_pairs),
             ("fallback_window", fallback_text.fallback_window_chunks),
             ("text_quality_lang", None),
-        ):
-            t0 = time.monotonic()
-            if name == "text_quality_lang":
-                _noop_write(text_analysis.quality_score(spark, sf_dir))
-                _noop_write(text_analysis.lang_id(spark, sf_dir))
-            else:
-                _noop_write(fn(spark, sf_dir))
-            timings[name] = round(time.monotonic() - t0, 3)
+        )
+        for target in (timings, warm):
+            for name, fn in ops_queries:
+                t0 = time.monotonic()
+                if name == "text_quality_lang":
+                    _noop_write(text_analysis.quality_score(spark, sf_dir))
+                    _noop_write(text_analysis.lang_id(spark, sf_dir))
+                else:
+                    _noop_write(fn(spark, sf_dir))
+                target[name] = round(time.monotonic() - t0, 3)
 
         return {
             "metric": "e2e_hybrid_extract_chunk_sec",
             "value": round(flagship_sec, 3),
             "unit": "sec",
             "queries": timings,
+            "queries_warm": warm,
             "sf": _sf_of(sf_dir),
             "n_docs": n_docs,
             "n_chunks": n_chunks,
