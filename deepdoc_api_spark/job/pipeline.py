@@ -141,22 +141,13 @@ def spans_parquet_cached(
 
     import deepdoc_api_spark.datagen as datagen
 
+    from deepdoc_api_spark.cacheid import path_stat_signature
+
     with open(datagen.__file__, "rb") as fh:
         gen_ver = hashlib.md5(fh.read()).hexdigest()[:10]
     src = os.path.abspath(sf_dir.rstrip("/"))
     key = hashlib.md5(src.encode()).hexdigest()[:10]
-    docs_path = os.path.join(src, "documents.parquet")
-    sig = hashlib.md5()
-    if os.path.isdir(docs_path):
-        for base, _dirs, files in sorted(os.walk(docs_path)):
-            for f in sorted(files):
-                st = os.stat(os.path.join(base, f))
-                rel = os.path.relpath(os.path.join(base, f), docs_path)
-                sig.update(f"{rel}:{st.st_size}:{st.st_mtime_ns}".encode())
-    elif os.path.exists(docs_path):
-        st = os.stat(docs_path)
-        sig.update(f"{st.st_size}:{st.st_mtime_ns}".encode())
-    data_ver = sig.hexdigest()[:10]
+    data_ver = path_stat_signature(os.path.join(src, "documents.parquet"))[:10]
     root = os.environ.get(
         "SPARK_GRAFT_SPANS_CACHE",
         os.path.join(tempfile.gettempdir(), "ddspark-spans-cache"),

@@ -209,6 +209,7 @@ def _golden_key(sf_dir: str) -> str:
 
     import deepdoc_api_spark.datagen as datagen
     import deepdoc_api_spark.kernels as kernels
+    from deepdoc_api_spark.cacheid import path_stat_signature
 
     h = hashlib.md5()
     srcs = [datagen.__file__, __file__] + sorted(
@@ -219,16 +220,9 @@ def _golden_key(sf_dir: str) -> str:
             h.update(hashlib.md5(fh.read()).digest())
     src = os.path.abspath(sf_dir.rstrip("/"))
     h.update(src.encode())
-    docs_path = os.path.join(src, "documents.parquet")
-    if os.path.isdir(docs_path):
-        for base, _dirs, files in sorted(os.walk(docs_path)):
-            for f in sorted(files):
-                st = os.stat(os.path.join(base, f))
-                rel = os.path.relpath(os.path.join(base, f), docs_path)
-                h.update(f"{rel}:{st.st_size}:{st.st_mtime_ns}".encode())
-    elif os.path.exists(docs_path):
-        st = os.stat(docs_path)
-        h.update(f"{st.st_size}:{st.st_mtime_ns}".encode())
+    h.update(
+        path_stat_signature(os.path.join(src, "documents.parquet")).encode()
+    )
     return h.hexdigest()[:16]
 
 

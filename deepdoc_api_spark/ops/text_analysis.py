@@ -753,12 +753,21 @@ def window_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(spark.sparkContext.defaultParallelism * 2, "doc_id")
         .selectExpr("doc_id", "split(trim(lower(text)), '\\\\s+') as w")
     )
-    wins = t.selectExpr(
-        "doc_id",
-        f"posexplode(transform(sequence(1, size(w) div {w}),"
-        f" i -> array_join(slice(w, (i - 1) * {w} + 1, {w}), ' ')))"
-        " as (pos0, sent)",
-    ).selectExpr("doc_id", "cast(pos0 + 1 as int) as pos", "sent")
+    # size guard BEFORE the sequence: Spark's sequence(1, 0) descends
+    # ([1, 0]) instead of yielding an empty array, which would emit two
+    # phantom windows for a sub-W-word document (the same footgun the
+    # shingle expression guards against — ops/dedup.py). Docs below W
+    # words re-enter via the left join as all-tail rows.
+    wins = (
+        t.filter(f"size(w) >= {w}")
+        .selectExpr(
+            "doc_id",
+            f"posexplode(transform(sequence(1, size(w) div {w}),"
+            f" i -> array_join(slice(w, (i - 1) * {w} + 1, {w}), ' ')))"
+            " as (pos0, sent)",
+        )
+        .selectExpr("doc_id", "cast(pos0 + 1 as int) as pos", "sent")
+    )
     keepers = wins.groupBy("sent").agg(
         F.expr("min(struct(doc_id, pos))").alias("k"),
         F.count("*").alias("occ"),

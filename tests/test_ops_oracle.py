@@ -255,3 +255,55 @@ def test_window_dedup_semantics(spark, sf_dir):
     assert sum(r.n_dropped for r in rows) == total - uniq, (
         "dropped count must equal duplicate occurrences (keep-one rule)"
     )
+
+
+def test_window_dedup_short_docs(spark, tmp_path):
+    """Sub-W-word documents: Spark's sequence(1, 0) yields [1, 0] (a
+    DESCENDING array, not empty), which un-guarded produced two phantom
+    windows per short doc — duplicated cleaned text, a corpus-wide
+    empty-window collision, and an oracle mismatch (round-5 review
+    finding). The size guard must make short docs pure-tail rows,
+    value-identical to the DuckDB oracle."""
+    import os
+
+    import duckdb
+
+    docs = spark.createDataFrame(
+        [
+            (1, "only three words"),
+            (2, ""),
+            (3, " ".join(f"w{i}" for i in range(10))),   # exactly W
+            (4, " ".join(f"w{i}" for i in range(10)) + " tail words"),
+            (5, " ".join(f"w{i}" for i in range(10))),   # dup of doc 3
+        ],
+        "doc_id long, text string",
+    )
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf)
+    docs.coalesce(1).write.parquet(os.path.join(sf, "documents.parquet"))
+
+    from deepdoc_api_spark.ops.text_analysis import (
+        window_dedup,
+        window_dedup_sql,
+    )
+
+    rows = {r.doc_id: r for r in window_dedup(spark, sf).collect()}
+    assert rows[1].n_windows == 0 and rows[1].n_dropped == 0
+    assert rows[1].cleaned_chars == len("only three words")
+    assert rows[3].n_windows == 1 and rows[3].n_dropped == 0
+    assert rows[5].n_dropped == 1, "doc 5 duplicates doc 3's window"
+    assert rows[5].cleaned_chars == 0
+
+    con = duckdb.connect()
+    con.execute(
+        "create view documents as select * from "
+        f"'{os.path.join(sf, 'documents.parquet')}/*.parquet'"
+    )
+    drows = sorted(
+        tuple(_norm(v) for v in r)
+        for r in con.execute(window_dedup_sql()).fetchall()
+    )
+    srows = sorted(
+        tuple(_norm(v) for v in r) for r in window_dedup(spark, sf).collect()
+    )
+    assert srows == drows
