@@ -65,6 +65,25 @@ def build_py_files_zip(dest_dir: Optional[str] = None) -> str:
 KERNEL_SPLIT_BYTES = "4m"
 
 
+def _resolve_master(explicit, env) -> Optional[str]:
+    """The master to pass to the session builder, or None for
+    launcher-provided.
+
+    Round-5 fix: under `spark-submit --master X` the driver python
+    connects to a PRE-LAUNCHED gateway JVM (PYSPARK_GATEWAY_PORT in the
+    env) that already carries the submitted master, and unconditionally
+    calling builder.master() here OVERRODE it — measured: every
+    `spark-submit --master local[N]` run executed at the local[32]
+    default, and on a real cluster the job would silently run local on
+    the driver instead of on the executors. With a pre-launched gateway
+    we set no master at all unless the caller passed one explicitly."""
+    if explicit is not None:
+        return explicit
+    if "PYSPARK_GATEWAY_PORT" in env:
+        return None  # spark-submit / launcher owns the master
+    return f"local[{env.get('SPARK_GRAFT_CPUS', '32')}]"
+
+
 def get_spark(
     app_name: str = "deepdoc_api_spark",
     master: Optional[str] = None,
@@ -79,15 +98,12 @@ def get_spark(
     points whose dominant stage is the CPU-bound Python kernel (see the
     constant's doc); leave ``None`` for general sessions.
     ``SPARK_GRAFT_MAX_PARTITION_BYTES`` overrides either choice."""
-    if master is None:
-        cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-        master = f"local[{cpus}]"
+    master = _resolve_master(master, os.environ)
     if shuffle_partitions is None:
         shuffle_partitions = int(os.environ.get("SPARK_SHUFFLE_PARTITIONS", "64"))
 
     builder = (
         SparkSession.builder.appName(app_name)
-        .master(master)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
@@ -108,6 +124,8 @@ def get_spark(
         .config("spark.ui.enabled", os.environ.get("SPARK_UI", "false"))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
     )
+    if master is not None:
+        builder = builder.master(master)
     split_bytes = os.environ.get(
         "SPARK_GRAFT_MAX_PARTITION_BYTES", kernel_split_bytes
     )

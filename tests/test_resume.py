@@ -164,3 +164,21 @@ def test_streaming_writer_bounded_buffer(spark, sf_dir, tmp_path, monkeypatch):
     )
     assert got == want
     spans.unpersist()
+
+
+def test_resolve_master_respects_launcher():
+    """Round-5 deployment fix: get_spark must NOT override a
+    spark-submit-provided master — with a pre-launched gateway
+    (PYSPARK_GATEWAY_PORT set) and no explicit master, the builder gets
+    none (the launcher's spark.master wins); standalone sessions keep
+    the SPARK_GRAFT_CPUS local default; an explicit master always
+    wins."""
+    from deepdoc_api_spark.job.session import _resolve_master
+
+    assert _resolve_master(None, {"PYSPARK_GATEWAY_PORT": "1234"}) is None
+    assert (
+        _resolve_master("local[4]", {"PYSPARK_GATEWAY_PORT": "1234"})
+        == "local[4]"
+    )
+    assert _resolve_master(None, {}) == "local[32]"
+    assert _resolve_master(None, {"SPARK_GRAFT_CPUS": "8"}) == "local[8]"
