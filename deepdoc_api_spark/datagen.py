@@ -121,7 +121,10 @@ def _make_table_html(rng: random.Random, w) -> str:
 def gen_doc_spans(doc_id: int, text: str) -> List[Dict]:
     """Generate the span sequence for one document. Pure & deterministic."""
     rng = random.Random(f"{SEED_NS}:{doc_id}")
-    vocab = (text or "alpha beta gamma delta epsilon").split()
+    # `or` AFTER the split (round-5 edge fix): whitespace-only text is
+    # truthy but splits to [], and vocab[0] below then raised — the
+    # fallback vocabulary must cover blank text of any shape
+    vocab = (text or "").split() or "alpha beta gamma delta epsilon".split()
     w = _words_fn(rng, vocab)
 
     if is_giant(doc_id):

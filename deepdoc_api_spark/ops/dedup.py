@@ -30,15 +30,24 @@ BAND_ROWS = 2  # 4 bands × 2 rows
 #: and the skew guard for the candidate self-join at corpus scale.
 MAX_BUCKET_DOCS = 64
 
-# NB: rows reaching this expression are pre-filtered to size(w) >= 3
-# with a cheap predicate on w — filtering on size(g) AFTER building the
-# shingle array would re-evaluate the whole transform chain inside the
-# predicate (measured 20×+ slowdown); Spark's sequence(1, 0) would also
-# descend ([1, 0]) for short docs. DuckDB's range() is end-exclusive,
-# so its guard lives in the WHERE len(g) > 0 of the oracle.
+# TOTAL expression (round-5 edge-corpus fix): the inline CASE guard is
+# load-bearing even though callers also pre-filter on size(w) >= 3 —
+# when the shingle array feeds an explode, Catalyst infers a
+# `size(gs) > 0` constraint from the Generate, pushes it into the SAME
+# Filter as the size guard, and codegen's common-subexpression
+# elimination evaluates the shingle expression BEFORE the cheap
+# conjunct. With a bare sequence(1, size-2), a 1-word document then
+# descends (sequence(1, -1) = [1, 0, -1]) and element_at throws under
+# ANSI mode (reproduced: ngram_doc_frequency crashed on any corpus
+# containing a sub-3-word doc). Spark's If/CaseWhen evaluates only the
+# taken branch, so the CASE makes the expression safe at any position
+# in the plan; callers keep the cheap pre-filter for pruning. DuckDB's
+# range() is end-exclusive (already total); its empty-doc guard lives
+# in the WHERE len(g) > 0 of the oracle.
 _SHINGLES_EXPR = (
-    "transform(sequence(1, size(w) - 2), "
+    "case when size(w) >= 3 then transform(sequence(1, size(w) - 2), "
     "i -> concat_ws(' ', element_at(w, i), element_at(w, i+1), element_at(w, i+2)))"
+    " else array() end"
 )
 
 _SHINGLES_SQL = (

@@ -17,9 +17,10 @@ the content is the text replicated ``REPLICAS`` times joined by single
 spaces — long enough that every K5 rule fires (word-boundary break past
 the midpoint, ``end - overlap`` stepping, first-chunk overlap 0).
 
-Oracle contract: the text is single-line ASCII with plain spaces (true
-of the driver's tables), so Python ``str.strip()`` ≡ SQL
-``trim(x, ' ')`` and character offsets agree byte-for-byte.
+Oracle contract: the text is ASCII (true of the driver's tables), so
+Python ``str.strip()`` ≡ SQL ``trim`` over the six ASCII whitespace
+characters and character offsets agree byte-for-byte (unicode
+whitespace would diverge; documented limit).
 
 Scale note: one row in → ~N/900 rows out, computed entirely inside one
 ``mapInPandas`` crossing with no shuffle — the scan partitioning is the
@@ -126,7 +127,14 @@ w AS (
   WHERE (CASE WHEN e - {overlap} <= s THEN e ELSE e - {overlap} END) < n
 ),
 emit AS (
-  SELECT doc_id, s, trim(substr(c, s + 1, e - s), ' ') AS txt
+  -- Python str.strip() strips ALL whitespace, not just spaces: a
+  -- whitespace-only document must produce ZERO chunks in both engines
+  -- (round-5 edge-corpus fix; trim(x, ' ') kept tab/newline windows
+  -- alive oracle-side only)
+  SELECT doc_id, s,
+         trim(substr(c, s + 1, e - s),
+              ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12))
+           AS txt
   FROM (
     SELECT doc_id, c, n, s, {e_expr} AS e
     FROM (SELECT doc_id, c, n, s, {sp_expr} AS sp FROM w)

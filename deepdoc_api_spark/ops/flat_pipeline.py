@@ -82,11 +82,11 @@ def _records_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rep = " || ' ' || ".join(["trim(text)"] * REPLICAS)
     return docs.selectExpr(
-        "doc_id", f"split({rep}, '\\\\s+') as ws"
+        "doc_id", f"filter(split({rep}, '\\\\s+'), x -> x != '') as ws"
     ).selectExpr(
         "doc_id",
         f"""
-        transform(sequence(0, cast(ceil(size(ws) / {GROUP_WORDS}.0) as int) - 1),
+        transform(if(size(ws) > 0, sequence(0, cast(ceil(size(ws) / {GROUP_WORDS}.0) as int) - 1), array()),
           i -> named_struct(
             'seq', i,
             'kind', case when i % {TITLE_EVERY} = 0 then 'title' else 'text' end,
@@ -109,7 +109,7 @@ def _records_sql_cte() -> str:
     kind, content, page)`` (exploded rows)."""
     rep = " || ' ' || ".join(["trim(text)"] * REPLICAS)
     return f"""
-w AS (SELECT doc_id, regexp_split_to_array({rep}, '\\s+') AS ws FROM documents),
+w AS (SELECT doc_id, list_filter(regexp_split_to_array({rep}, '\\s+'), x -> x <> '') AS ws FROM documents),
 idx AS (SELECT doc_id, ws, unnest(range(0, CAST(ceil(len(ws) / {GROUP_WORDS}.0) AS INTEGER))) AS i FROM w),
 r AS (
   SELECT doc_id, i AS seq,
@@ -351,11 +351,11 @@ def _toc_records_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rep = " || ' ' || ".join(["trim(text)"] * REPLICAS)
     return docs.selectExpr(
-        "doc_id", f"split({rep}, '\\\\s+') as ws"
+        "doc_id", f"filter(split({rep}, '\\\\s+'), x -> x != '') as ws"
     ).selectExpr(
         "doc_id",
         f"""
-        transform(sequence(0, cast(ceil(size(ws) / {GROUP_WORDS}.0) as int) - 1),
+        transform(if(size(ws) > 0, sequence(0, cast(ceil(size(ws) / {GROUP_WORDS}.0) as int) - 1), array()),
           i -> named_struct(
             'seq', i,
             'kind', case when i % {TITLE_EVERY} = 0 then 'title' else 'text' end,
@@ -375,7 +375,7 @@ def _toc_records_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _toc_records_sql_cte() -> str:
     rep = " || ' ' || ".join(["trim(text)"] * REPLICAS)
     return f"""
-w AS (SELECT doc_id, regexp_split_to_array({rep}, '\\s+') AS ws FROM documents),
+w AS (SELECT doc_id, list_filter(regexp_split_to_array({rep}, '\\s+'), x -> x <> '') AS ws FROM documents),
 idx AS (SELECT doc_id, ws, unnest(range(0, CAST(ceil(len(ws) / {GROUP_WORDS}.0) AS INTEGER))) AS i FROM w),
 r AS (
   SELECT doc_id, i AS seq,
@@ -490,7 +490,7 @@ def _hybrid_records_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     start = f"(49 * (i div 7) + element_at(array({partial}), (i % 7) + 1))"
     glen = "(4 + i % 7)"
     return docs.selectExpr(
-        "doc_id", f"split({rep}, '\\\\s+') as ws"
+        "doc_id", f"filter(split({rep}, '\\\\s+'), x -> x != '') as ws"
     ).selectExpr(
         "doc_id",
         f"""
@@ -552,8 +552,17 @@ def hybrid_flat_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _hybrid_flat_sql(budget: int = HYBRID_FLAT_BUDGET) -> str:
     partial = ",".join(str(v) for v in _GLEN_PARTIAL)
-    # the engine tokenizer: \w+ or a single non-word-non-space char
-    tok = r"len(regexp_extract_all({x}, '[0-9A-Za-z_]+|[^0-9A-Za-z_\s]'))"
+    # The engine tokenizer: \w+ or a single non-word-non-space char.
+    # RE2's \w is ASCII-only, so the oracle spells out the UNICODE
+    # classes Python's re \w resolves to (letters, numbers, underscore;
+    # round-5 edge fix — the ASCII form under-counted 'héllo' etc. and
+    # skewed merge decisions on non-ASCII corpora). Combining marks
+    # (Mn) sit outside \p{L}\p{N} in BOTH engines, so decomposed
+    # accents tokenize identically too.
+    tok = (
+        "len(regexp_extract_all({x},"
+        " '[\\p{{L}}\\p{{N}}_]+|[^\\p{{L}}\\p{{N}}_\\s]'))"
+    )
     t_title = tok.format(x="title")
     t = lambda k: tok.format(x=f"b{k}")  # noqa: E731
     pages_json = (
@@ -561,7 +570,7 @@ def _hybrid_flat_sql(budget: int = HYBRID_FLAT_BUDGET) -> str:
         " x -> x::VARCHAR), ',') || ']'"
     )
     return f"""
-WITH w AS (SELECT doc_id, regexp_split_to_array({' || chr(32) || '.join(["trim(text)"] * REPLICAS)}, '\\s+') AS ws FROM documents),
+WITH w AS (SELECT doc_id, list_filter(regexp_split_to_array({' || chr(32) || '.join(["trim(text)"] * REPLICAS)}, '\\s+'), x -> x <> '') AS ws FROM documents),
 idx0 AS (SELECT doc_id, ws, unnest(range(0, CAST(len(ws) / 4 AS INTEGER) + 2)) AS i FROM w),
 idx AS (
   SELECT doc_id, ws, i,
@@ -694,12 +703,14 @@ def html_flat_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
     rep = " || ' ' || ".join(["trim(text)"] * REPLICAS)
     start = f"(i * {GROUP_WORDS})"
     html_df = docs.selectExpr(
-        "doc_id", f"split({rep}, '\\\\s+') as ws"
+        "doc_id", f"filter(split({rep}, '\\\\s+'), x -> x != '') as ws"
     ).selectExpr(
         "doc_id",
         f"""
         concat_ws('', transform(
-          sequence(0, cast(ceil(size(ws) / {GROUP_WORDS}.0) as int) - 1),
+          if(size(ws) > 0,
+             sequence(0, cast(ceil(size(ws) / {GROUP_WORDS}.0) as int) - 1),
+             array()),
           i -> {_html_fragment_expr(start, str(GROUP_WORDS))})) as html
         """,
     )
@@ -727,7 +738,7 @@ def _html_flat_sql(min_text_chars: int = 25) -> str:
     grp = f"array_to_string(ws[i * {GROUP_WORDS} + 1 : i * {GROUP_WORDS} + {GROUP_WORDS}], ' ')"
     rep = " || ' ' || ".join(["trim(text)"] * REPLICAS)
     return f"""
-WITH w AS (SELECT doc_id, regexp_split_to_array({rep}, '\\s+') AS ws FROM documents),
+WITH w AS (SELECT doc_id, list_filter(regexp_split_to_array({rep}, '\\s+'), x -> x <> '') AS ws FROM documents),
 idx AS (SELECT doc_id, ws, unnest(range(0, CAST(ceil(len(ws) / {GROUP_WORDS}.0) AS INTEGER))) AS i FROM w),
 expected AS (
   SELECT doc_id, i,
@@ -799,11 +810,11 @@ def _mixed_spans_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     rep = " || ' ' || ".join(["trim(text)"] * REPLICAS)
     grp = f"concat_ws(' ', slice(ws, i * {GROUP_WORDS} + 1, {GROUP_WORDS}))"
     return docs.selectExpr(
-        "doc_id", f"split({rep}, '\\\\s+') as ws"
+        "doc_id", f"filter(split({rep}, '\\\\s+'), x -> x != '') as ws"
     ).selectExpr(
         "doc_id",
         f"""
-        transform(sequence(0, cast(ceil(size(ws) / {GROUP_WORDS}.0) as int) - 1),
+        transform(if(size(ws) > 0, sequence(0, cast(ceil(size(ws) / {GROUP_WORDS}.0) as int) - 1), array()),
           i -> named_struct(
             'kind', case when i % 4 = 0 then 'title'
                          when i % 16 in (1, 3, 5) then 'text'
@@ -875,7 +886,7 @@ def _mixed_flat_sql() -> str:
         f" i * {GROUP_WORDS} + {GROUP_WORDS}], ' ')"
     )
     return f"""
-WITH w AS (SELECT doc_id, regexp_split_to_array({rep}, '\\s+') AS ws FROM documents),
+WITH w AS (SELECT doc_id, list_filter(regexp_split_to_array({rep}, '\\s+'), x -> x <> '') AS ws FROM documents),
 idx AS (SELECT doc_id, ws, unnest(range(0, CAST(ceil(len(ws) / {GROUP_WORDS}.0) AS INTEGER))) AS i FROM w),
 -- the span->record map (O3): unknown kinds dropped, others 1:1; the
 -- kept stream below is what format_records sees
@@ -1027,7 +1038,7 @@ def mixed_record_kind_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _mixed_kind_histogram_sql() -> str:
     rep = " || ' ' || ".join(["trim(text)"] * REPLICAS)
     return f"""
-WITH w AS (SELECT doc_id, regexp_split_to_array({rep}, '\\s+') AS ws FROM documents),
+WITH w AS (SELECT doc_id, list_filter(regexp_split_to_array({rep}, '\\s+'), x -> x <> '') AS ws FROM documents),
 idx AS (SELECT doc_id, unnest(range(0, CAST(ceil(len(ws) / {GROUP_WORDS}.0) AS INTEGER))) AS i FROM w)
 SELECT CASE WHEN i % 4 = 0 THEN 'title'
             WHEN i % 16 IN (1, 3, 5) THEN 'text'
@@ -1079,11 +1090,11 @@ def _media_spans_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
         "element_at(array('png','mp4','wav'), cast(i % 3 as int) + 1)"
     )
     return docs.selectExpr(
-        "cast(doc_id as string) as doc_id", f"split(trim(text), '\\\\s+') as ws"
+        "cast(doc_id as string) as doc_id", f"filter(split(trim(text), '\\\\s+'), x -> x != '') as ws"
     ).selectExpr(
         "doc_id",
         f"""
-        transform(sequence(0, cast(ceil(size(ws) / {GROUP_WORDS}.0) as int) - 1),
+        transform(if(size(ws) > 0, sequence(0, cast(ceil(size(ws) / {GROUP_WORDS}.0) as int) - 1), array()),
           i -> named_struct(
             'kind', 'media',
             'text', '',
@@ -1096,7 +1107,7 @@ def _media_spans_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _MEDIA_REFS_SQL = f"""
-w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws FROM documents),
+w AS (SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS ws FROM documents),
 idx AS (SELECT doc_id, unnest(range(0, CAST(ceil(len(ws) / {GROUP_WORDS}.0) AS INTEGER))) AS i FROM w),
 m AS (
   SELECT doc_id,
@@ -1313,14 +1324,14 @@ def reading_order_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     grp = f"concat_ws(' ', slice(ws, i * {GROUP_WORDS} + 1, {GROUP_WORDS}))"
     spans_df = docs.selectExpr(
-        "cast(doc_id as string) as doc_id", "split(trim(text), '\\\\s+') as ws"
+        "cast(doc_id as string) as doc_id", "filter(split(trim(text), '\\\\s+'), x -> x != '') as ws"
     ).selectExpr(
         "doc_id",
         # scrambled interleave: all i % 3 == 0 groups first, then 1, 2
         f"""
         transform(
           array_sort(
-            transform(sequence(0, cast(ceil(size(ws) / {GROUP_WORDS}.0) as int) - 1),
+            transform(if(size(ws) > 0, sequence(0, cast(ceil(size(ws) / {GROUP_WORDS}.0) as int) - 1), array()),
                       i -> named_struct('o', cast(i % 3 as int), 'i', i)),
             (a, b) -> case when a.o < b.o or (a.o = b.o and a.i < b.i) then -1
                            when a.o = b.o and a.i = b.i then 0 else 1 end),
@@ -1362,7 +1373,7 @@ def reading_order_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 READING_ORDER_FLAT_SQL = f"""
-WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws FROM documents),
+WITH w AS (SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS ws FROM documents),
 idx AS (SELECT doc_id, ws, unnest(range(0, CAST(ceil(len(ws) / {GROUP_WORDS}.0) AS INTEGER))) AS i FROM w)
 SELECT doc_id::VARCHAR AS doc_id,
        (row_number() OVER (PARTITION BY doc_id ORDER BY i) - 1)::INTEGER

@@ -41,6 +41,24 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).repartition(n, "vec_id")
 
 
+#: cosine is undefined for the zero vector (its norm divides); real
+#: corpora DO contain zero embeddings (failed encoder calls), and under
+#: ANSI SQL the division aborts the whole query (round-5 edge-corpus
+#: finding). Every cosine-consuming op drops zero vectors explicitly —
+#: the same row in both engines — while embedding_norms (the hygiene
+#: check that SURFACES them, norm_micro = 0) keeps the raw table.
+_NONZERO_EXPR = "exists(embedding, x -> cast(x as double) != 0.0d)"
+def _nonzero_sql(col: str = "embedding") -> str:
+    return f"len(list_filter({col}, x -> x::DOUBLE <> 0)) > 0"
+
+
+_NONZERO_SQL = _nonzero_sql()
+
+
+def _emb_nonzero(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _emb(spark, sf_dir).filter(_NONZERO_EXPR)
+
+
 def _embedding_dim(sf_dir: str) -> int:
     """Vector dimensionality, read from the parquet footer + first row
     group driver-side — NOT via ``df.first()``, which launches an extra
@@ -71,7 +89,7 @@ def brute_force_topk(
     """Exact cosine top-k: broadcast the (tiny) query side against the
     full table — a map-side-only scan, no shuffle until the final
     per-query top-k aggregation."""
-    emb = _emb(spark, sf_dir)
+    emb = _emb_nonzero(spark, sf_dir)
     # query norms ride in the broadcast (computed once per query, not
     # once per (row, query) pair — the same loop-invariant hoist as the
     # IVF argmax); identical expressions evaluated once, values exact
@@ -105,7 +123,8 @@ def brute_force_topk(
 
 def brute_force_topk_sql(k: int = DEFAULT_K, n_queries: int = DEFAULT_N_QUERIES) -> str:
     return f"""
-WITH q AS (SELECT vec_id AS qid, embedding AS q FROM embeddings WHERE vec_id < {n_queries}),
+WITH nz AS (SELECT vec_id, embedding FROM embeddings WHERE {_NONZERO_SQL}),
+q AS (SELECT vec_id AS qid, embedding AS q FROM nz WHERE vec_id < {n_queries}),
 scored AS (
   SELECT q.qid, e.vec_id,
     CAST(floor(
@@ -114,7 +133,7 @@ scored AS (
       / (sqrt(list_sum(list_transform(e.embedding, x -> x::DOUBLE * x::DOUBLE)))
          * sqrt(list_sum(list_transform(q.q, x -> x::DOUBLE * x::DOUBLE))))
       * 1000000) AS BIGINT) AS sim_micro
-  FROM embeddings e, q WHERE e.vec_id != q.qid
+  FROM nz e, q WHERE e.vec_id != q.qid
 ),
 ranked AS (
   SELECT qid, vec_id, sim_micro,
@@ -175,7 +194,7 @@ def lsh_bucket_topk(
     exact cosine re-rank within the bucket. At scale the join is on the
     signature key — the brute-force O(N·Q) scan becomes O(N·Q/2^bits).
     """
-    emb = _emb(spark, sf_dir)
+    emb = _emb_nonzero(spark, sf_dir)
     dim = _embedding_dim(sf_dir)
 
     def bit_expr(b: int) -> str:
@@ -380,7 +399,7 @@ def embedding_near_dup_pairs(
     band signature, with frequent buckets suppressed (broadcast ok-list,
     same skew guard as the MinHash text dedup); exact cosine verifies.
     """
-    emb = _emb(spark, sf_dir)
+    emb = _emb_nonzero(spark, sf_dir)
     dim = _embedding_dim(sf_dir)
     return _near_dup_pairs_from(emb, dim, threshold_micro, n_bands, band_bits)
 
@@ -405,7 +424,9 @@ def embedding_near_dup_pairs_planted(
     twins = emb.selectExpr(
         f"{_TWIN_ID_EXPR} as vec_id", f"{_TWIN_EXPR} as embedding"
     )
-    aug = emb.select("vec_id", "embedding").unionByName(twins)
+    aug = emb.select("vec_id", "embedding").unionByName(twins).filter(
+        _NONZERO_EXPR
+    )
     dim = _embedding_dim(sf_dir)
     return _near_dup_pairs_from(aug, dim, threshold_micro, n_bands, band_bits)
 
@@ -430,7 +451,7 @@ def _near_dup_pairs_sql_from(
         " * sqrt(list_sum(list_transform(eb.embedding, x -> x::DOUBLE * x::DOUBLE))))"
     )
     return f"""
-WITH emb_src AS ({source_sql}),
+WITH emb_src AS (SELECT * FROM ({source_sql}) WHERE {_NONZERO_SQL}),
 bands AS ({band_rows}),
 ok AS (SELECT band, key FROM bands GROUP BY band, key
        HAVING count(*) > 1 AND count(*) <= {MAX_BUCKET_VECS}),
@@ -492,6 +513,7 @@ def lsh_bucket_topk_sql(
     return f"""
 WITH signed AS (
   SELECT vec_id, embedding, CAST({sig} AS INTEGER) AS bucket FROM embeddings
+  WHERE {_NONZERO_SQL}
 ),
 q AS (SELECT vec_id AS qid, embedding AS q, bucket FROM signed WHERE vec_id < {n_queries}),
 scored AS (
@@ -546,7 +568,7 @@ def banded_topk(
     structure (top-k at cos ≥ 0.8) the same defaults give
     1-(1-0.8^8)^8 ≈ 0.82; the dial is bands × bits, not code.
     """
-    emb = _emb(spark, sf_dir)
+    emb = _emb_nonzero(spark, sf_dir)
     dim = _embedding_dim(sf_dir)
     sigs = _band_sig_exprs(dim, quote=False, n_bands=n_bands, band_bits=band_bits)
     structs = ", ".join(
@@ -598,7 +620,7 @@ def banded_topk_sql(
     sigs = _band_sig_exprs(dim, quote=True, n_bands=n_bands, band_bits=band_bits)
     band_rows = " UNION ALL ".join(
         f"SELECT vec_id, embedding, {b} AS band, CAST({sig} AS INTEGER) AS key"
-        " FROM embeddings"
+        f" FROM embeddings WHERE {_NONZERO_SQL}"
         for b, sig in enumerate(sigs)
     )
     cos = (
@@ -674,14 +696,16 @@ def nlist_for(n_vecs: int) -> int:
     )
 
 
-def _nlist_params_sql() -> str:
+def _nlist_params_sql(rel: str = "e0") -> str:
     """DuckDB mirror of :func:`nlist_for` as a 1-row params CTE over
-    ``e`` (the query's source relation, so planted unions count their
-    twins exactly like the Python side doubles the footer count)."""
+    ``rel`` — the UNGUARDED source relation (planted unions count their
+    twins exactly like the Python side doubles the footer count, and
+    zero vectors COUNT toward nlist on both sides even though the
+    cosine path drops them: the Python side reads the raw footer)."""
     return (
         f"params AS (SELECT least({IVF_MAX_NLIST}, greatest({IVF_NLIST},"
         f" (count(*) + {IVF_TARGET_CLUSTER - 1}) // {IVF_TARGET_CLUSTER}))"
-        " AS nlist FROM e)"
+        f" AS nlist FROM {rel})"
     )
 
 
@@ -788,7 +812,16 @@ def _kmeans_assign(emb: DataFrame, nlist: int):
     # not constant-fold a 1024-literal CreateArray, so every row paid
     # the construction). Doubles round-trip exactly; oracle equality
     # is untouched.
-    cent_rows = sorted(cent.collect(), key=lambda r: r.cid)
+    # Drop ZERO centroids (round-5 edge fix): the integer-micro Lloyd
+    # quantizes sub-micro vectors to the zero vector, whose norm then
+    # divides in the cosine argmax (ANSI abort on Spark, inf on
+    # DuckDB). A zero centroid cannot be cosine-ranked; its members
+    # re-assign to the nearest NONZERO centroid — the oracle's cent
+    # CTE applies the identical filter.
+    cent_rows = sorted(
+        (r for r in cent.collect() if any(float(v) != 0.0 for v in r.c)),
+        key=lambda r: r.cid,
+    )
     spark = emb.sparkSession
     cent_row = spark.createDataFrame(
         [([(int(r.cid), [float(v) for v in r.c]) for r in cent_rows],)],
@@ -800,6 +833,10 @@ def _kmeans_assign(emb: DataFrame, nlist: int):
             "vec_id", "embedding", "nv",
             f"{_argmax_cell('embedding', 'nv')} as cid",
         )
+        # null cid = no rankable centroid exists (argmax over an empty
+        # cents array) — such vectors leave the clustering in BOTH
+        # engines (the oracle's a2 row_number naturally drops them)
+        .filter("cid is not null")
     )
     return assign, cent_row
 
@@ -812,7 +849,7 @@ def ivf_topk(
     nlist: Optional[int] = None,
     nprobe: int = IVF_NPROBE,
 ) -> DataFrame:
-    emb = _emb(spark, sf_dir)
+    emb = _emb_nonzero(spark, sf_dir)
     if nlist is None:
         nlist = nlist_for(_n_vecs(sf_dir))
     emb_n = emb.selectExpr(
@@ -902,9 +939,11 @@ comps AS (SELECT cid,
                  unnest(list_transform(embedding,
                         x -> CAST(floor(x::DOUBLE * 1000000) AS BIGINT))) AS xm
           FROM a1),
-cent AS (SELECT cid, list(CAST(s AS DOUBLE) ORDER BY dim) AS c FROM (
-           SELECT cid, dim, sum(xm) AS s FROM comps GROUP BY cid, dim)
-         GROUP BY cid),
+cent AS (SELECT cid, c FROM (
+           SELECT cid, list(CAST(s AS DOUBLE) ORDER BY dim) AS c FROM (
+             SELECT cid, dim, sum(xm) AS s FROM comps GROUP BY cid, dim)
+           GROUP BY cid)
+         WHERE len(list_filter(c, x -> x <> 0)) > 0),
 s2 AS (SELECT e.vec_id, e.embedding, cent.cid,
               {cos('e.embedding', 'cent.c')} AS sim_micro
        FROM e, cent),
@@ -923,7 +962,8 @@ def ivf_topk_sql(
     cos = _duck_cos
     nlist_sql = "(SELECT nlist FROM params)" if nlist is None else str(nlist)
     return f"""
-WITH e AS (SELECT vec_id, embedding FROM embeddings),
+WITH e0 AS (SELECT vec_id, embedding FROM embeddings),
+e AS (SELECT * FROM e0 WHERE {_NONZERO_SQL}),
 {_nlist_params_sql()},
 {_kmeans_ctes_sql(nlist_sql)},
 probes AS (SELECT qid, q, cid FROM (
@@ -1043,6 +1083,9 @@ def _subcluster_overflow(
                 " p -> cast(p.s as double))"
             ).alias("c")
         )
+        # zero sub-centroids cannot be cosine-ranked (see
+        # _kmeans_assign); members fall back to scid null → overflow
+        .filter("exists(c, x -> x != cast(0.0 as double))")
         .selectExpr("cid", "named_struct('cid', scid, 'c', c) as s")
         .groupBy("cid")
         .agg(F.expr("array_sort(collect_list(s))").alias("cents"))
@@ -1156,7 +1199,7 @@ def semantic_dedup(
     if nlist is None:
         nlist = nlist_for(_n_vecs(sf_dir))
     return _semantic_dedup_from(
-        _emb(spark, sf_dir), tau_micro, nlist, max_cluster_vecs
+        _emb_nonzero(spark, sf_dir), tau_micro, nlist, max_cluster_vecs
     )
 
 
@@ -1178,7 +1221,9 @@ def semantic_dedup_planted(
     twins = emb.selectExpr(
         f"{_TWIN_ID_EXPR} as vec_id", f"{_TWIN_EXPR} as embedding"
     )
-    aug = emb.select("vec_id", "embedding").unionByName(twins)
+    aug = emb.select("vec_id", "embedding").unionByName(twins).filter(
+        _NONZERO_EXPR
+    )
     if nlist is None:
         nlist = nlist_for(2 * _n_vecs(sf_dir))
     return _semantic_dedup_from(aug, tau_micro, nlist, max_cluster_vecs)
@@ -1203,7 +1248,8 @@ def _semantic_dedup_sql(
         f"least({MAX_SUB_CELLS}, 2 * ((n_vecs + {m - 1}) // {m}))"
     )
     return f"""
-WITH e AS ({source_sql}),
+WITH e0 AS ({source_sql}),
+e AS (SELECT * FROM e0 WHERE {_NONZERO_SQL}),
 {_nlist_params_sql()},
 {_kmeans_ctes_sql(nlist_sql)},
 sizes AS (SELECT cid, count(*) AS n_vecs FROM a2 GROUP BY cid),
@@ -1229,10 +1275,12 @@ scomps AS (SELECT cid, scid,
                          x -> CAST(floor(x::DOUBLE * 1000000) AS BIGINT)))
                     AS xm
            FROM sa1),
-scent AS (SELECT cid, scid, list(CAST(s AS DOUBLE) ORDER BY dim) AS c
-          FROM (SELECT cid, scid, dim, sum(xm) AS s FROM scomps
-                GROUP BY cid, scid, dim)
-          GROUP BY cid, scid),
+scent AS (SELECT cid, scid, c FROM (
+            SELECT cid, scid, list(CAST(s AS DOUBLE) ORDER BY dim) AS c
+            FROM (SELECT cid, scid, dim, sum(xm) AS s FROM scomps
+                  GROUP BY cid, scid, dim)
+            GROUP BY cid, scid)
+          WHERE len(list_filter(c, x -> x <> 0)) > 0),
 sb2 AS (SELECT mem.vec_id, mem.cid, scent.scid,
                {cos('mem.embedding', 'scent.c')} AS sim_micro
         FROM mem JOIN scent USING (cid)),

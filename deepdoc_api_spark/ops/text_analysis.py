@@ -358,9 +358,15 @@ def gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter("size(w) >= 2")
         .selectExpr(
             "doc_id",
-            "explode(transform(sequence(1, size(w) - 1),"
-            " i -> concat_ws(' ', element_at(w, i), element_at(w, i + 1))))"
-            " as bg",
+            # total CASE (round-5 edge fix): the explode's inferred
+            # size()>0 constraint can evaluate this expression BEFORE
+            # the size(w) >= 2 pre-filter (Generate pushdown + CSE —
+            # see ops/dedup._SHINGLES_EXPR), and a bare sequence
+            # descends for 1-word docs
+            "explode(case when size(w) >= 2 then"
+            " transform(sequence(1, size(w) - 1),"
+            " i -> concat_ws(' ', element_at(w, i), element_at(w, i + 1)))"
+            " else array() end) as bg",
         )
         .groupBy("doc_id", "bg")
         .agg(F.count("*").alias("n"))

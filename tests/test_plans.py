@@ -656,7 +656,7 @@ def test_nlist_formula_matches_oracle_params_cte(spark):
     for n in [1, 15, 16, 511, 512, 513, 8191, 8192, 10_000_000,
               IVF_MAX_NLIST * 512, IVF_MAX_NLIST * 512 + 1, 10**12]:
         sql = (
-            f"WITH e AS (SELECT 1 FROM range({min(n, 1)})),\n"
+            f"WITH e0 AS (SELECT 1 FROM range({min(n, 1)})),\n"
             + _nlist_params_sql().replace(
                 "count(*)", str(n)
             )
