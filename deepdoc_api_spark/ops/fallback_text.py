@@ -127,13 +127,19 @@ w AS (
   WHERE (CASE WHEN e - {overlap} <= s THEN e ELSE e - {overlap} END) < n
 ),
 emit AS (
-  -- Python str.strip() strips ALL whitespace, not just spaces: a
-  -- whitespace-only document must produce ZERO chunks in both engines
-  -- (round-5 edge-corpus fix; trim(x, ' ') kept tab/newline windows
-  -- alive oracle-side only)
+  -- Python str.strip() strips the FULL 29-char unicode whitespace set
+  -- (incl. \x1c-\x1f, NEL, NBSP, Zs/Zl/Zp): a whitespace-only window
+  -- must produce ZERO chunks in both engines (round-5 edge-corpus fix;
+  -- trim(x, ' ') kept tab/newline windows alive oracle-side only)
   SELECT doc_id, s,
          trim(substr(c, s + 1, e - s),
-              ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12))
+              ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)
+              || chr(28) || chr(29) || chr(30) || chr(31) || chr(133)
+              || chr(160) || chr(5760) || chr(8192) || chr(8193)
+              || chr(8194) || chr(8195) || chr(8196) || chr(8197)
+              || chr(8198) || chr(8199) || chr(8200) || chr(8201)
+              || chr(8202) || chr(8232) || chr(8233) || chr(8239)
+              || chr(8287) || chr(12288))
            AS txt
   FROM (
     SELECT doc_id, c, n, s, {e_expr} AS e

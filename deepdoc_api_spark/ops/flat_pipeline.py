@@ -52,6 +52,37 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 
 GROUP_WORDS = 8
+
+#: Python's re \s / str.strip() whitespace set, spelled out for RE2 /
+#: DuckDB trim (29 chars; round-5 review — RE2's \s is ASCII-minus-VT
+#: and DuckDB trim defaults to spaces, so any oracle clause that mirrors
+#: a PYTHON-kernel normalization must use these explicit sets)
+_PY_WS_RE2 = (
+    "\\t\\n\\x0b\\f\\r\\x1c-\\x1f \\x85\\xa0\\x{1680}"
+    "\\x{2000}-\\x{200a}\\x{2028}\\x{2029}\\x{202f}"
+    "\\x{205f}\\x{3000}"
+)
+_PY_WS_CHARS_SQL = (
+    "' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)"
+    " || chr(28) || chr(29) || chr(30) || chr(31) || chr(133)"
+    " || chr(160) || chr(5760) || chr(8192) || chr(8193) || chr(8194)"
+    " || chr(8195) || chr(8196) || chr(8197) || chr(8198) || chr(8199)"
+    " || chr(8200) || chr(8201) || chr(8202) || chr(8232) || chr(8233)"
+    " || chr(8239) || chr(8287) || chr(12288)"
+)
+
+
+def _py_norm_sql(x: str) -> str:
+    """DuckDB twin of the kernel's `' '.join(text.split())` (Python
+    whitespace semantics — collapses NBSP/NEL/Zs runs too)."""
+    return (
+        f"trim(regexp_replace({x}, '[{_PY_WS_RE2}]+', ' ', 'g'), ' ')"
+    )
+
+
+def _py_strip_sql(x: str) -> str:
+    """DuckDB twin of Python str.strip()."""
+    return f"trim({x}, {_PY_WS_CHARS_SQL})"
 TITLE_EVERY = 4
 PAGE_EVERY = 6
 REPLICAS = 9
@@ -109,7 +140,7 @@ def _records_sql_cte() -> str:
     kind, content, page)`` (exploded rows)."""
     rep = " || ' ' || ".join(["trim(text)"] * REPLICAS)
     return f"""
-w AS (SELECT doc_id, list_filter(regexp_split_to_array({rep}, '\\s+'), x -> x <> '') AS ws FROM documents),
+w AS (SELECT doc_id, list_filter(regexp_split_to_array({rep}, '[ \\t\\n\\x0b\\f\\r]+'), x -> x <> '') AS ws FROM documents),
 idx AS (SELECT doc_id, ws, unnest(range(0, CAST(ceil(len(ws) / {GROUP_WORDS}.0) AS INTEGER))) AS i FROM w),
 r AS (
   SELECT doc_id, i AS seq,
@@ -375,7 +406,7 @@ def _toc_records_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _toc_records_sql_cte() -> str:
     rep = " || ' ' || ".join(["trim(text)"] * REPLICAS)
     return f"""
-w AS (SELECT doc_id, list_filter(regexp_split_to_array({rep}, '\\s+'), x -> x <> '') AS ws FROM documents),
+w AS (SELECT doc_id, list_filter(regexp_split_to_array({rep}, '[ \\t\\n\\x0b\\f\\r]+'), x -> x <> '') AS ws FROM documents),
 idx AS (SELECT doc_id, ws, unnest(range(0, CAST(ceil(len(ws) / {GROUP_WORDS}.0) AS INTEGER))) AS i FROM w),
 r AS (
   SELECT doc_id, i AS seq,
@@ -446,12 +477,12 @@ sections AS (
 SELECT doc_id,
        (row_number() OVER (PARTITION BY doc_id ORDER BY ord) - 1)::INTEGER
          AS chunk_index,
-       name || chr(10) || body AS text,
+       name || chr(10) || {_py_strip_sql('body')} AS text,
        name AS heading,
        page::INTEGER AS page,
-       length(name || chr(10) || body)::BIGINT AS chunk_size
+       length(name || chr(10) || {_py_strip_sql('body')})::BIGINT AS chunk_size
 FROM sections
-WHERE body IS NOT NULL AND length(trim(body, ' ' || chr(10))) > 0
+WHERE body IS NOT NULL AND length({_py_strip_sql('body')}) > 0
 """
 
 
@@ -559,9 +590,18 @@ def _hybrid_flat_sql(budget: int = HYBRID_FLAT_BUDGET) -> str:
     # skewed merge decisions on non-ASCII corpora). Combining marks
     # (Mn) sit outside \p{L}\p{N} in BOTH engines, so decomposed
     # accents tokenize identically too.
+    # RE2's \s is ASCII-only (and excludes \x0b); Python's \s is the
+    # 29-char unicode whitespace set — spelled out so the negated punct
+    # class matches Python's re exactly (BMP-swept in the round-5
+    # review: NBSP/VT/NEL/Zs all agree now)
+    py_ws = (
+        "\\t\\n\\x0b\\f\\r\\x1c-\\x1f \\x85\\xa0\\x{{1680}}"
+        "\\x{{2000}}-\\x{{200a}}\\x{{2028}}\\x{{2029}}\\x{{202f}}"
+        "\\x{{205f}}\\x{{3000}}"
+    )
     tok = (
         "len(regexp_extract_all({x},"
-        " '[\\p{{L}}\\p{{N}}_]+|[^\\p{{L}}\\p{{N}}_\\s]'))"
+        " '[\\p{{L}}\\p{{N}}_]+|[^\\p{{L}}\\p{{N}}_" + py_ws + "]'))"
     )
     t_title = tok.format(x="title")
     t = lambda k: tok.format(x=f"b{k}")  # noqa: E731
@@ -570,7 +610,7 @@ def _hybrid_flat_sql(budget: int = HYBRID_FLAT_BUDGET) -> str:
         " x -> x::VARCHAR), ',') || ']'"
     )
     return f"""
-WITH w AS (SELECT doc_id, list_filter(regexp_split_to_array({' || chr(32) || '.join(["trim(text)"] * REPLICAS)}, '\\s+'), x -> x <> '') AS ws FROM documents),
+WITH w AS (SELECT doc_id, list_filter(regexp_split_to_array({' || chr(32) || '.join(["trim(text)"] * REPLICAS)}, '[ \\t\\n\\x0b\\f\\r]+'), x -> x <> '') AS ws FROM documents),
 idx0 AS (SELECT doc_id, ws, unnest(range(0, CAST(len(ws) / 4 AS INTEGER) + 2)) AS i FROM w),
 idx AS (
   SELECT doc_id, ws, i,
@@ -735,10 +775,16 @@ def html_flat_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _html_flat_sql(min_text_chars: int = 25) -> str:
-    grp = f"array_to_string(ws[i * {GROUP_WORDS} + 1 : i * {GROUP_WORDS} + {GROUP_WORDS}], ' ')"
+    # the kernel's scanner normalizes block text with Python whitespace
+    # semantics (_norm == ' '.join(text.split())) — NBSP/NEL inside a
+    # ws token collapse to plain spaces; the oracle mirrors with
+    # _py_norm_sql, and the MIN_TEXT_CHARS gate measures the SAME
+    # normalized string the kernel measures (round-5 edge fix)
+    raw = f"array_to_string(ws[i * {GROUP_WORDS} + 1 : i * {GROUP_WORDS} + {GROUP_WORDS}], ' ')"
+    grp = _py_norm_sql(raw)
     rep = " || ' ' || ".join(["trim(text)"] * REPLICAS)
     return f"""
-WITH w AS (SELECT doc_id, list_filter(regexp_split_to_array({rep}, '\\s+'), x -> x <> '') AS ws FROM documents),
+WITH w AS (SELECT doc_id, list_filter(regexp_split_to_array({rep}, '[ \\t\\n\\x0b\\f\\r]+'), x -> x <> '') AS ws FROM documents),
 idx AS (SELECT doc_id, ws, unnest(range(0, CAST(ceil(len(ws) / {GROUP_WORDS}.0) AS INTEGER))) AS i FROM w),
 expected AS (
   SELECT doc_id, i,
@@ -886,7 +932,7 @@ def _mixed_flat_sql() -> str:
         f" i * {GROUP_WORDS} + {GROUP_WORDS}], ' ')"
     )
     return f"""
-WITH w AS (SELECT doc_id, list_filter(regexp_split_to_array({rep}, '\\s+'), x -> x <> '') AS ws FROM documents),
+WITH w AS (SELECT doc_id, list_filter(regexp_split_to_array({rep}, '[ \\t\\n\\x0b\\f\\r]+'), x -> x <> '') AS ws FROM documents),
 idx AS (SELECT doc_id, ws, unnest(range(0, CAST(ceil(len(ws) / {GROUP_WORDS}.0) AS INTEGER))) AS i FROM w),
 -- the span->record map (O3): unknown kinds dropped, others 1:1; the
 -- kept stream below is what format_records sees
@@ -1038,7 +1084,7 @@ def mixed_record_kind_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _mixed_kind_histogram_sql() -> str:
     rep = " || ' ' || ".join(["trim(text)"] * REPLICAS)
     return f"""
-WITH w AS (SELECT doc_id, list_filter(regexp_split_to_array({rep}, '\\s+'), x -> x <> '') AS ws FROM documents),
+WITH w AS (SELECT doc_id, list_filter(regexp_split_to_array({rep}, '[ \\t\\n\\x0b\\f\\r]+'), x -> x <> '') AS ws FROM documents),
 idx AS (SELECT doc_id, unnest(range(0, CAST(ceil(len(ws) / {GROUP_WORDS}.0) AS INTEGER))) AS i FROM w)
 SELECT CASE WHEN i % 4 = 0 THEN 'title'
             WHEN i % 16 IN (1, 3, 5) THEN 'text'
@@ -1107,7 +1153,7 @@ def _media_spans_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _MEDIA_REFS_SQL = f"""
-w AS (SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS ws FROM documents),
+w AS (SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '[ \\t\\n\\x0b\\f\\r]+'), x -> x <> '') AS ws FROM documents),
 idx AS (SELECT doc_id, unnest(range(0, CAST(ceil(len(ws) / {GROUP_WORDS}.0) AS INTEGER))) AS i FROM w),
 m AS (
   SELECT doc_id,
@@ -1373,7 +1419,7 @@ def reading_order_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 READING_ORDER_FLAT_SQL = f"""
-WITH w AS (SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS ws FROM documents),
+WITH w AS (SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '[ \\t\\n\\x0b\\f\\r]+'), x -> x <> '') AS ws FROM documents),
 idx AS (SELECT doc_id, ws, unnest(range(0, CAST(ceil(len(ws) / {GROUP_WORDS}.0) AS INTEGER))) AS i FROM w)
 SELECT doc_id::VARCHAR AS doc_id,
        (row_number() OVER (PARTITION BY doc_id ORDER BY i) - 1)::INTEGER

@@ -48,11 +48,7 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: the same row in both engines — while embedding_norms (the hygiene
 #: check that SURFACES them, norm_micro = 0) keeps the raw table.
 _NONZERO_EXPR = "exists(embedding, x -> cast(x as double) != 0.0d)"
-def _nonzero_sql(col: str = "embedding") -> str:
-    return f"len(list_filter({col}, x -> x::DOUBLE <> 0)) > 0"
-
-
-_NONZERO_SQL = _nonzero_sql()
+_NONZERO_SQL = "len(list_filter(embedding, x -> x::DOUBLE <> 0)) > 0"
 
 
 def _emb_nonzero(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -818,8 +814,17 @@ def _kmeans_assign(emb: DataFrame, nlist: int):
     # DuckDB). A zero centroid cannot be cosine-ranked; its members
     # re-assign to the nearest NONZERO centroid — the oracle's cent
     # CTE applies the identical filter.
+    # r.cid is None when NO rankable seed existed (e.g. the whole
+    # [0, nlist) id range was zero vectors dropped by the nonzero
+    # guard): assign1 yields null cids, which aggregate into one
+    # cid=None centroid row — skip it (the oracle's empty seeds CTE
+    # yields an empty result the null-cid filter below mirrors)
     cent_rows = sorted(
-        (r for r in cent.collect() if any(float(v) != 0.0 for v in r.c)),
+        (
+            r
+            for r in cent.collect()
+            if r.cid is not None and any(float(v) != 0.0 for v in r.c)
+        ),
         key=lambda r: r.cid,
     )
     spark = emb.sparkSession

@@ -48,6 +48,12 @@ EDGE_DOCS = [
     # a doc quoting doc 11's opening words (containment territory)
     (13, " ".join(f"w{i % 7}" for i in range(12))),
     (14, "a b c d e f g h i j k l m n o p q r s t u v w x y z"),
+    # exotic whitespace (round-5 review): VT splits in Java \s but not
+    # RE2's, NBSP/NEL/FS are Python-whitespace but in neither regex —
+    # the mirrors pin explicit classes so these agree engine-for-engine
+    (15, "alpha\x0bbeta gamma\xa0delta and some normal words here"),
+    (16, "words\x1cseparated\x1dby\x1einformation\x1fseparators now"),
+    (17, "\x85embedded nel\u2009thin space\u3000ideographic end"),
 ]
 
 
@@ -120,3 +126,55 @@ def test_edge_corpus_matches_oracle(spark, edge_sf, name):
         f"{name}: row count {len(srows)} vs {len(drows)}"
     )
     assert sorted(srows) == sorted(drows), f"{name}: value mismatch on edges"
+
+
+def test_kmeans_survives_all_zero_seed_range(spark, tmp_path):
+    """Round-5 review: if every vec_id in the seed range [0, nlist) is
+    a zero vector (one failed encoder batch at the head of the table),
+    the nonzero guard empties the seeds, assign1 yields null cids, and
+    the aggregated cid=None centroid row must not crash the driver
+    collect — both engines produce the same (empty) clustering."""
+    import os
+
+    import duckdb
+
+    from deepdoc_api_spark.ops import similarity
+
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf)
+    dim = 8
+    rows = [(i, [0.0] * dim, 0) for i in range(16)]  # zero seed range
+    rows += [
+        (16 + i, [float((i + j) % 3 - 1) for j in range(dim)], 1)
+        for i in range(8)
+    ]
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).coalesce(1).write.parquet(os.path.join(sf, "embeddings.parquet"))
+
+    srows = sorted(
+        tuple(r) for r in similarity.ivf_topk(spark, sf, nlist=16).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "create view embeddings as select * from "
+        f"'{os.path.join(sf, 'embeddings.parquet')}/*.parquet'"
+    )
+    drows = sorted(
+        tuple(r)
+        for r in con.execute(similarity.ivf_topk_sql(nlist=16)).fetchall()
+    )
+    assert srows == drows  # both empty: no rankable centroid exists
+    sem = sorted(
+        tuple(r)
+        for r in similarity.semantic_dedup(spark, sf, nlist=16).collect()
+    )
+    dsem = sorted(
+        tuple(r)
+        for r in con.execute(
+            similarity._semantic_dedup_sql(
+                "SELECT vec_id, embedding FROM embeddings", 900_000, 16
+            )
+        ).fetchall()
+    )
+    assert sem == dsem
