@@ -1338,3 +1338,79 @@ def semantic_dedup_planted_sql(
         " FROM embeddings"
     )
     return _semantic_dedup_sql(src, tau_micro, nlist, max_cluster_vecs)
+
+
+# ---------------------------------------------------------------------------
+# int8 embedding quantization — the vector-store prep step
+# ---------------------------------------------------------------------------
+#
+# Production ANN systems store quantized vectors (FAISS scalar
+# quantizer / IVF-SQ8): per-vector affine int8 codes cut memory and
+# bandwidth 4x, which at 10^12 vectors is the difference between an
+# in-RAM index and none. This op computes the per-vector affine
+# parameters and codes relationally — per-row JVM expressions, no
+# shuffle — and surfaces the reconstruction-error bound alongside, so a
+# pipeline can gate on quantization quality.
+#
+# Determinism discipline (both engines bit-for-bit): all math in
+# doubles, the code rounding is floor(x + 0.5) — written out instead
+# of round(), whose half-way tie rule differs between engines —
+# and outputs are integer-scaled (scale in nanos: vector ranges of
+# ~1e-2 would lose everything at micro resolution). Constant vectors
+# (range 0) quantize to all-zero codes with scale 0, exactly
+# recoverable from the zero point.
+
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    mn = "aggregate(embedding, cast('Infinity' as double), (a, x) -> least(a, cast(x as double)))"
+    mx = "aggregate(embedding, cast('-Infinity' as double), (a, x) -> greatest(a, cast(x as double)))"
+    with_params = emb.selectExpr(
+        "vec_id", "embedding", f"{mn} as mn", f"({mx} - {mn}) / 255.0d as scale"
+    )
+    code = (
+        "case when scale = 0.0d then 0 else"
+        " cast(floor((cast(x as double) - mn) / scale + 0.5d) as int) end"
+    )
+    recon = "mn + cast(c as double) * scale"
+    return with_params.selectExpr(
+        "vec_id",
+        "cast(size(embedding) as int) as dim",
+        "cast(floor(scale * 1000000000) as bigint) as scale_nano",
+        "cast(floor(mn * 1000000) as bigint) as zero_micro",
+        f"aggregate(transform(embedding, x -> {code}),"
+        " cast(0 as bigint), (a, c) -> a + c) as codes_sum",
+        f"cast(floor(aggregate(zip_with(embedding,"
+        f" transform(embedding, x -> {code}),"
+        f" (x, c) -> abs(cast(x as double) - ({recon}))),"
+        " cast(0.0 as double), (a, e) -> greatest(a, e)) * 1000000000)"
+        " as bigint) as max_err_nano",
+    )
+
+
+EMBEDDING_QUANTIZE_INT8_SQL = """
+WITH p AS (
+  SELECT vec_id, embedding,
+         list_aggregate(list_transform(embedding, x -> x::DOUBLE), 'min') AS mn,
+         (list_aggregate(list_transform(embedding, x -> x::DOUBLE), 'max')
+          - list_aggregate(list_transform(embedding, x -> x::DOUBLE), 'min'))
+           / 255.0 AS scale
+  FROM embeddings
+),
+c AS (
+  SELECT vec_id, embedding, mn, scale,
+         list_transform(embedding, x -> CASE WHEN scale = 0 THEN 0
+           ELSE CAST(floor((x::DOUBLE - mn) / scale + 0.5) AS INTEGER) END)
+           AS codes
+  FROM p
+)
+SELECT vec_id,
+       len(embedding)::INTEGER AS dim,
+       CAST(floor(scale * 1000000000) AS BIGINT) AS scale_nano,
+       CAST(floor(mn * 1000000) AS BIGINT) AS zero_micro,
+       list_sum(codes)::BIGINT AS codes_sum,
+       CAST(floor(list_aggregate(
+         list_transform(range(1, len(embedding) + 1),
+           i -> abs(embedding[i]::DOUBLE - (mn + codes[i]::DOUBLE * scale))),
+         'max') * 1000000000) AS BIGINT) AS max_err_nano
+FROM c
+"""

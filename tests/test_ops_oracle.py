@@ -307,3 +307,28 @@ def test_window_dedup_short_docs(spark, tmp_path):
         tuple(_norm(v) for v in r) for r in window_dedup(spark, sf).collect()
     )
     assert srows == drows
+
+
+def test_embedding_quantize_int8_parity_and_bound(spark, sf_dir):
+    """int8 quantization (round 5, pytest-pinned — the 50-query window
+    is full): value-exact vs the DuckDB mirror, plus the quantizer
+    contract — reconstruction error is bounded by half a step
+    (scale/2, plus a nano of floor slack) and constant/degenerate
+    vectors quantize losslessly to scale 0."""
+    from deepdoc_api_spark.ops.similarity import (
+        EMBEDDING_QUANTIZE_INT8_SQL,
+        embedding_quantize_int8,
+    )
+
+    sdf = embedding_quantize_int8(spark, sf_dir)
+    srows = [tuple(_norm(v) for v in row) for row in sdf.collect()]
+    res = _duck(sf_dir).execute(EMBEDDING_QUANTIZE_INT8_SQL)
+    dcols = [d[0] for d in res.description]
+    drows = [tuple(_norm(v) for v in row) for row in res.fetchall()]
+    assert sdf.columns == dcols
+    assert sorted(srows) == sorted(drows) and len(srows) > 0
+
+    for vec_id, dim, scale_nano, zero_micro, codes_sum, max_err_nano in srows:
+        assert 0 <= codes_sum <= 255 * dim
+        # half-step bound: |x - recon| <= scale/2 (+1 nano floor slack)
+        assert max_err_nano <= scale_nano // 2 + 1, vec_id
