@@ -131,7 +131,7 @@ def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 EXACT_DEDUP_SQL = """
-WITH fp AS (SELECT doc_id, md5(lower(trim(text))) AS fp FROM documents),
+WITH fp AS (SELECT doc_id, md5(lower(trim(text, ' '))) AS fp FROM documents),
 k AS (SELECT fp, min(doc_id) AS keeper, count(*) AS group_size FROM fp GROUP BY fp)
 SELECT f.doc_id, f.fp, k.keeper, k.group_size::BIGINT AS group_size,
        (f.doc_id != k.keeper) AS is_dup
@@ -164,7 +164,7 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SIG_SQL_BODY = (
-    "t AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '[ \\t\\n\\x0b\\f\\r]+') AS w"
+    "t AS (SELECT doc_id, regexp_split_to_array(trim(lower(text), ' '), '[ \\t\\n\\x0b\\f\\r]+') AS w"
     " FROM documents),\n"
     f"s AS (SELECT doc_id, {_SHINGLES_SQL} AS g FROM t),\n"
     f"dgs AS (SELECT doc_id, {_DIGESTS_SQL} AS dg, g FROM s WHERE len(g) > 0),\n"
@@ -512,7 +512,7 @@ def containment_near_dup_pairs_planted(
     )
 
 
-_WORDS_SQL = "regexp_split_to_array(trim(lower(text)), '[ \\t\\n\\x0b\\f\\r]+')"
+_WORDS_SQL = "regexp_split_to_array(trim(lower(text), ' '), '[ \\t\\n\\x0b\\f\\r]+')"
 _T_RAW_SQL = f"SELECT doc_id, {_WORDS_SQL} AS w FROM documents"
 
 
@@ -619,7 +619,7 @@ def simhash16(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SIMHASH_SQL_BODY = (
     "t AS (SELECT doc_id,"
-    " list_distinct(regexp_split_to_array(trim(lower(text)), '[ \\t\\n\\x0b\\f\\r]+')) AS dw"
+    " list_distinct(regexp_split_to_array(trim(lower(text), ' '), '[ \\t\\n\\x0b\\f\\r]+')) AS dw"
     " FROM documents),\n"
     f"hs AS (SELECT doc_id, list_transform(dw, x -> {_hash_sql(0, 'x')}) AS hs FROM t),\n"
     "b AS (SELECT doc_id, "
@@ -692,7 +692,7 @@ def simhash_words(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SIMHASH64_SQL_BODY = (
     "t64 AS (SELECT doc_id,"
-    " list_distinct(regexp_split_to_array(trim(lower(text)), '[ \\t\\n\\x0b\\f\\r]+')) AS dw"
+    " list_distinct(regexp_split_to_array(trim(lower(text), ' '), '[ \\t\\n\\x0b\\f\\r]+')) AS dw"
     " FROM documents),\n"
     "ds64 AS (SELECT doc_id, list_transform(dw, x -> md5('0:' || x)) AS ds FROM t64),\n"
     "h64 AS (SELECT doc_id,"
@@ -862,7 +862,7 @@ def ngram_doc_frequency_sql(min_df: Optional[int] = None, top_k: int = 100) -> s
     )
     return (
         "WITH t AS (SELECT doc_id,"
-        " regexp_split_to_array(trim(lower(text)), '[ \\t\\n\\x0b\\f\\r]+') AS w FROM documents),\n"
+        " regexp_split_to_array(trim(lower(text), ' '), '[ \\t\\n\\x0b\\f\\r]+') AS w FROM documents),\n"
         f"s AS (SELECT doc_id, list_distinct({_SHINGLES_SQL}) AS g FROM t"
         " WHERE len(w) >= 3),\n"
         "e AS (SELECT doc_id, unnest(g) AS gram FROM s WHERE len(g) > 0)\n"
@@ -1081,7 +1081,7 @@ def dedup_verdicts_sql(threshold_milli: int = 500) -> str:
     near = jaccard_near_dup_pairs_sql(threshold_milli)
     return f"""
 WITH RECURSIVE near_base AS ({near}),
-fp AS (SELECT doc_id, md5(lower(trim(text))) AS fp FROM documents),
+fp AS (SELECT doc_id, md5(lower(trim(text, ' '))) AS fp FROM documents),
 k AS (SELECT fp, min(doc_id) AS keeper FROM fp GROUP BY fp),
 exact AS (
   SELECT f.doc_id, k.keeper AS exact_keeper, (f.doc_id != k.keeper) AS is_exact_dup

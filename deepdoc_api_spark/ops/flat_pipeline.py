@@ -83,6 +83,25 @@ def _py_norm_sql(x: str) -> str:
 def _py_strip_sql(x: str) -> str:
     """DuckDB twin of Python str.strip()."""
     return f"trim({x}, {_PY_WS_CHARS_SQL})"
+
+
+#: The flat record classes are ORACLE FIXTURES: their token contract
+#: excludes tokens containing whitespace that Python treats as such
+#: but Java/RE2 split regexes do not (FS-US, NEL, NBSP, Zs/Zl/Zp) —
+#: otherwise a generated record content would be silently re-split /
+#: stripped by the Python kernels but not by the relational oracle.
+#: The REAL kernels' unicode behavior stays covered by the RNG-pipeline
+#: checksums (rng_chunk_checksums runs them on the raw text).
+#: one class string of REAL codepoints (no regex escapes): embedded
+#: verbatim into both engines' pattern literals, so Java and RE2 parse
+#: the identical character set and SQL-literal escape rules never
+#: intervene (escape spellings diverged between the two parsers)
+_EXOTIC_WS_CLASS = (
+    "[\x1c-\x1f\x85\xa0\u1680\u2000-\u200a"
+    "\u2028\u2029\u202f\u205f\u3000]"
+)
+_EXOTIC_WS_JAVA = _EXOTIC_WS_CLASS
+_EXOTIC_WS_RE2 = _EXOTIC_WS_CLASS
 TITLE_EVERY = 4
 PAGE_EVERY = 6
 REPLICAS = 9
@@ -113,7 +132,7 @@ def _records_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rep = " || ' ' || ".join(["trim(text)"] * REPLICAS)
     return docs.selectExpr(
-        "doc_id", f"filter(split({rep}, '\\\\s+'), x -> x != '') as ws"
+        "doc_id", f"filter(split({rep}, '\\\\s+'), x -> x != '' and not (x rlike '{_EXOTIC_WS_JAVA}')) as ws"
     ).selectExpr(
         "doc_id",
         f"""
@@ -138,9 +157,9 @@ def _records_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _records_sql_cte() -> str:
     """DuckDB twin of :func:`_records_spark` → CTE ``r(doc_id, seq,
     kind, content, page)`` (exploded rows)."""
-    rep = " || ' ' || ".join(["trim(text)"] * REPLICAS)
+    rep = " || ' ' || ".join(["trim(text, ' ')"] * REPLICAS)
     return f"""
-w AS (SELECT doc_id, list_filter(regexp_split_to_array({rep}, '[ \\t\\n\\x0b\\f\\r]+'), x -> x <> '') AS ws FROM documents),
+w AS (SELECT doc_id, list_filter(regexp_split_to_array({rep}, '[ \\t\\n\\x0b\\f\\r]+'), x -> x <> '' AND NOT regexp_matches(x, '{_EXOTIC_WS_RE2}')) AS ws FROM documents),
 idx AS (SELECT doc_id, ws, unnest(range(0, CAST(ceil(len(ws) / {GROUP_WORDS}.0) AS INTEGER))) AS i FROM w),
 r AS (
   SELECT doc_id, i AS seq,
@@ -382,7 +401,7 @@ def _toc_records_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rep = " || ' ' || ".join(["trim(text)"] * REPLICAS)
     return docs.selectExpr(
-        "doc_id", f"filter(split({rep}, '\\\\s+'), x -> x != '') as ws"
+        "doc_id", f"filter(split({rep}, '\\\\s+'), x -> x != '' and not (x rlike '{_EXOTIC_WS_JAVA}')) as ws"
     ).selectExpr(
         "doc_id",
         f"""
@@ -404,9 +423,9 @@ def _toc_records_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _toc_records_sql_cte() -> str:
-    rep = " || ' ' || ".join(["trim(text)"] * REPLICAS)
+    rep = " || ' ' || ".join(["trim(text, ' ')"] * REPLICAS)
     return f"""
-w AS (SELECT doc_id, list_filter(regexp_split_to_array({rep}, '[ \\t\\n\\x0b\\f\\r]+'), x -> x <> '') AS ws FROM documents),
+w AS (SELECT doc_id, list_filter(regexp_split_to_array({rep}, '[ \\t\\n\\x0b\\f\\r]+'), x -> x <> '' AND NOT regexp_matches(x, '{_EXOTIC_WS_RE2}')) AS ws FROM documents),
 idx AS (SELECT doc_id, ws, unnest(range(0, CAST(ceil(len(ws) / {GROUP_WORDS}.0) AS INTEGER))) AS i FROM w),
 r AS (
   SELECT doc_id, i AS seq,
@@ -521,7 +540,7 @@ def _hybrid_records_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     start = f"(49 * (i div 7) + element_at(array({partial}), (i % 7) + 1))"
     glen = "(4 + i % 7)"
     return docs.selectExpr(
-        "doc_id", f"filter(split({rep}, '\\\\s+'), x -> x != '') as ws"
+        "doc_id", f"filter(split({rep}, '\\\\s+'), x -> x != '' and not (x rlike '{_EXOTIC_WS_JAVA}')) as ws"
     ).selectExpr(
         "doc_id",
         f"""
@@ -610,7 +629,7 @@ def _hybrid_flat_sql(budget: int = HYBRID_FLAT_BUDGET) -> str:
         " x -> x::VARCHAR), ',') || ']'"
     )
     return f"""
-WITH w AS (SELECT doc_id, list_filter(regexp_split_to_array({' || chr(32) || '.join(["trim(text)"] * REPLICAS)}, '[ \\t\\n\\x0b\\f\\r]+'), x -> x <> '') AS ws FROM documents),
+WITH w AS (SELECT doc_id, list_filter(regexp_split_to_array({' || chr(32) || '.join(["trim(text, ' ')"] * REPLICAS)}, '[ \\t\\n\\x0b\\f\\r]+'), x -> x <> '' AND NOT regexp_matches(x, '{_EXOTIC_WS_RE2}')) AS ws FROM documents),
 idx0 AS (SELECT doc_id, ws, unnest(range(0, CAST(len(ws) / 4 AS INTEGER) + 2)) AS i FROM w),
 idx AS (
   SELECT doc_id, ws, i,
@@ -743,7 +762,7 @@ def html_flat_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
     rep = " || ' ' || ".join(["trim(text)"] * REPLICAS)
     start = f"(i * {GROUP_WORDS})"
     html_df = docs.selectExpr(
-        "doc_id", f"filter(split({rep}, '\\\\s+'), x -> x != '') as ws"
+        "doc_id", f"filter(split({rep}, '\\\\s+'), x -> x != '' and not (x rlike '{_EXOTIC_WS_JAVA}')) as ws"
     ).selectExpr(
         "doc_id",
         f"""
@@ -782,9 +801,9 @@ def _html_flat_sql(min_text_chars: int = 25) -> str:
     # normalized string the kernel measures (round-5 edge fix)
     raw = f"array_to_string(ws[i * {GROUP_WORDS} + 1 : i * {GROUP_WORDS} + {GROUP_WORDS}], ' ')"
     grp = _py_norm_sql(raw)
-    rep = " || ' ' || ".join(["trim(text)"] * REPLICAS)
+    rep = " || ' ' || ".join(["trim(text, ' ')"] * REPLICAS)
     return f"""
-WITH w AS (SELECT doc_id, list_filter(regexp_split_to_array({rep}, '[ \\t\\n\\x0b\\f\\r]+'), x -> x <> '') AS ws FROM documents),
+WITH w AS (SELECT doc_id, list_filter(regexp_split_to_array({rep}, '[ \\t\\n\\x0b\\f\\r]+'), x -> x <> '' AND NOT regexp_matches(x, '{_EXOTIC_WS_RE2}')) AS ws FROM documents),
 idx AS (SELECT doc_id, ws, unnest(range(0, CAST(ceil(len(ws) / {GROUP_WORDS}.0) AS INTEGER))) AS i FROM w),
 expected AS (
   SELECT doc_id, i,
@@ -856,7 +875,7 @@ def _mixed_spans_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     rep = " || ' ' || ".join(["trim(text)"] * REPLICAS)
     grp = f"concat_ws(' ', slice(ws, i * {GROUP_WORDS} + 1, {GROUP_WORDS}))"
     return docs.selectExpr(
-        "doc_id", f"filter(split({rep}, '\\\\s+'), x -> x != '') as ws"
+        "doc_id", f"filter(split({rep}, '\\\\s+'), x -> x != '' and not (x rlike '{_EXOTIC_WS_JAVA}')) as ws"
     ).selectExpr(
         "doc_id",
         f"""
@@ -926,13 +945,13 @@ def mineru_flat_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _mixed_flat_sql() -> str:
-    rep = " || ' ' || ".join(["trim(text)"] * REPLICAS)
+    rep = " || ' ' || ".join(["trim(text, ' ')"] * REPLICAS)
     grp = (
         f"array_to_string(ws[i * {GROUP_WORDS} + 1 :"
         f" i * {GROUP_WORDS} + {GROUP_WORDS}], ' ')"
     )
     return f"""
-WITH w AS (SELECT doc_id, list_filter(regexp_split_to_array({rep}, '[ \\t\\n\\x0b\\f\\r]+'), x -> x <> '') AS ws FROM documents),
+WITH w AS (SELECT doc_id, list_filter(regexp_split_to_array({rep}, '[ \\t\\n\\x0b\\f\\r]+'), x -> x <> '' AND NOT regexp_matches(x, '{_EXOTIC_WS_RE2}')) AS ws FROM documents),
 idx AS (SELECT doc_id, ws, unnest(range(0, CAST(ceil(len(ws) / {GROUP_WORDS}.0) AS INTEGER))) AS i FROM w),
 -- the span->record map (O3): unknown kinds dropped, others 1:1; the
 -- kept stream below is what format_records sees
@@ -1082,9 +1101,9 @@ def mixed_record_kind_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _mixed_kind_histogram_sql() -> str:
-    rep = " || ' ' || ".join(["trim(text)"] * REPLICAS)
+    rep = " || ' ' || ".join(["trim(text, ' ')"] * REPLICAS)
     return f"""
-WITH w AS (SELECT doc_id, list_filter(regexp_split_to_array({rep}, '[ \\t\\n\\x0b\\f\\r]+'), x -> x <> '') AS ws FROM documents),
+WITH w AS (SELECT doc_id, list_filter(regexp_split_to_array({rep}, '[ \\t\\n\\x0b\\f\\r]+'), x -> x <> '' AND NOT regexp_matches(x, '{_EXOTIC_WS_RE2}')) AS ws FROM documents),
 idx AS (SELECT doc_id, unnest(range(0, CAST(ceil(len(ws) / {GROUP_WORDS}.0) AS INTEGER))) AS i FROM w)
 SELECT CASE WHEN i % 4 = 0 THEN 'title'
             WHEN i % 16 IN (1, 3, 5) THEN 'text'
@@ -1136,7 +1155,7 @@ def _media_spans_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
         "element_at(array('png','mp4','wav'), cast(i % 3 as int) + 1)"
     )
     return docs.selectExpr(
-        "cast(doc_id as string) as doc_id", f"filter(split(trim(text), '\\\\s+'), x -> x != '') as ws"
+        "cast(doc_id as string) as doc_id", f"filter(split(trim(text), '\\\\s+'), x -> x != '' and not (x rlike '{_EXOTIC_WS_JAVA}')) as ws"
     ).selectExpr(
         "doc_id",
         f"""
@@ -1153,7 +1172,7 @@ def _media_spans_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _MEDIA_REFS_SQL = f"""
-w AS (SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '[ \\t\\n\\x0b\\f\\r]+'), x -> x <> '') AS ws FROM documents),
+w AS (SELECT doc_id, list_filter(regexp_split_to_array(trim(text, ' '), '[ \\t\\n\\x0b\\f\\r]+'), x -> x <> '' AND NOT regexp_matches(x, '{_EXOTIC_WS_RE2}')) AS ws FROM documents),
 idx AS (SELECT doc_id, unnest(range(0, CAST(ceil(len(ws) / {GROUP_WORDS}.0) AS INTEGER))) AS i FROM w),
 m AS (
   SELECT doc_id,
@@ -1370,7 +1389,7 @@ def reading_order_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     grp = f"concat_ws(' ', slice(ws, i * {GROUP_WORDS} + 1, {GROUP_WORDS}))"
     spans_df = docs.selectExpr(
-        "cast(doc_id as string) as doc_id", "filter(split(trim(text), '\\\\s+'), x -> x != '') as ws"
+        "cast(doc_id as string) as doc_id", f"filter(split(trim(text), '\\\\s+'), x -> x != '' and not (x rlike '{_EXOTIC_WS_JAVA}')) as ws"
     ).selectExpr(
         "doc_id",
         # scrambled interleave: all i % 3 == 0 groups first, then 1, 2
@@ -1419,7 +1438,7 @@ def reading_order_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 READING_ORDER_FLAT_SQL = f"""
-WITH w AS (SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '[ \\t\\n\\x0b\\f\\r]+'), x -> x <> '') AS ws FROM documents),
+WITH w AS (SELECT doc_id, list_filter(regexp_split_to_array(trim(text, ' '), '[ \\t\\n\\x0b\\f\\r]+'), x -> x <> '' AND NOT regexp_matches(x, '{_EXOTIC_WS_RE2}')) AS ws FROM documents),
 idx AS (SELECT doc_id, ws, unnest(range(0, CAST(ceil(len(ws) / {GROUP_WORDS}.0) AS INTEGER))) AS i FROM w)
 SELECT doc_id::VARCHAR AS doc_id,
        (row_number() OVER (PARTITION BY doc_id ORDER BY i) - 1)::INTEGER

@@ -52,7 +52,7 @@ def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 TOKEN_COUNT_SQL = """
 SELECT doc_id,
-       len(regexp_split_to_array(trim(text), '[ \\t\\n\\x0b\\f\\r]+')) AS n_tokens,
+       len(regexp_split_to_array(trim(text, ' '), '[ \\t\\n\\x0b\\f\\r]+')) AS n_tokens,
        length(text)::BIGINT AS n_chars_computed
 FROM documents
 """
@@ -93,7 +93,7 @@ QUALITY_SCORE_SQL = f"""
 WITH t AS (
   SELECT doc_id,
          length(text)::BIGINT AS n_chars_q,
-         len(regexp_split_to_array(trim(text), '[ \\t\\n\\x0b\\f\\r]+')) AS n_words,
+         len(regexp_split_to_array(trim(text, ' '), '[ \\t\\n\\x0b\\f\\r]+')) AS n_words,
          len(regexp_extract_all(text, '[^\\w \\t\\n\\x0b\\f\\r]'))::BIGINT AS n_punct,
          {_stop_sql('en')}::BIGINT AS n_stop
   FROM documents
@@ -172,8 +172,8 @@ def fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 FINGERPRINT_SQL = """
 SELECT doc_id,
-       md5(regexp_replace(lower(trim(text)), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')) AS fp,
-       ('0x' || substr(md5(regexp_replace(lower(trim(text)), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')), 1, 8))::BIGINT AS fp32
+       md5(regexp_replace(lower(trim(text, ' ')), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')) AS fp,
+       ('0x' || substr(md5(regexp_replace(lower(trim(text, ' ')), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')), 1, 8))::BIGINT AS fp32
 FROM documents
 """
 
@@ -409,9 +409,9 @@ GOPHER_REPETITION_SQL = """
 WITH base AS (
   SELECT doc_id,
          list_filter(list_transform(regexp_split_to_array(text, '\n'),
-                     l -> trim(l)), l -> l != '') AS lines,
-         regexp_split_to_array(trim(text), '[ \\t\\n\\x0b\\f\\r]+') AS w,
-         trim(text) AS t
+                     l -> trim(l, ' ')), l -> l != '') AS lines,
+         regexp_split_to_array(trim(text, ' '), '[ \\t\\n\\x0b\\f\\r]+') AS w,
+         trim(text, ' ') AS t
   FROM documents
 ),
 line_stats AS (
@@ -497,7 +497,7 @@ def tfidf_top_terms(
 def tfidf_top_terms_sql(k: int = 5) -> str:
     return f"""
 WITH words AS (
-  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '[ \\t\\n\\x0b\\f\\r]+')) AS term
+  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text), ' '), '[ \\t\\n\\x0b\\f\\r]+')) AS term
   FROM documents
 ),
 tf AS (SELECT doc_id, term, count(*) AS tf FROM words GROUP BY doc_id, term),
@@ -707,7 +707,7 @@ def eval_decontamination_sql() -> str:
     )
     return f"""
 WITH words AS (
-  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '[ \\t\\n\\x0b\\f\\r]+') AS w
+  SELECT doc_id, regexp_split_to_array(trim(lower(text), ' '), '[ \\t\\n\\x0b\\f\\r]+') AS w
   FROM documents
 ),
 eval_grams AS (
@@ -818,7 +818,7 @@ def window_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def window_dedup_sql() -> str:
     w = WINDOW_DEDUP_W
     return f"""
-WITH t AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '[ \\t\\n\\x0b\\f\\r]+') AS w
+WITH t AS (SELECT doc_id, regexp_split_to_array(trim(lower(text), ' '), '[ \\t\\n\\x0b\\f\\r]+') AS w
            FROM documents),
 wins AS (SELECT doc_id, i::INTEGER AS pos,
                 array_to_string(w[(i - 1) * {w} + 1 : i * {w}], ' ') AS sent

@@ -178,3 +178,89 @@ def test_kmeans_survives_all_zero_seed_range(spark, tmp_path):
         ).fetchall()
     )
     assert sem == dsem
+
+
+# ---------------------------------------------------------------------------
+# seeded fuzz corpus: randomized content over the full oracle surface
+# ---------------------------------------------------------------------------
+
+_FUZZ_VOCAB = (
+    "the quick brown fox data spark table value key row scan".split()
+    + ["héllo", "wörld", "naïve", "測試", "Ünïts", "CASE", "x" * 300]
+    + ["42", "3.14", "!!!", "a_b", "c-d", "(paren)", "🌍"]
+)
+_FUZZ_SEPS = [" ", " ", " ", " ", "  ", "\t", "\n", "\x0b", "\xa0", " "]
+
+
+def _fuzz_text(rng) -> str:
+    n = rng.choice([0, 1, 2, 5, 9, 11, 25, 60, 150])
+    parts = []
+    for _ in range(n):
+        parts.append(rng.choice(_FUZZ_VOCAB))
+        parts.append(rng.choice(_FUZZ_SEPS))
+    return "".join(parts)
+
+
+@pytest.fixture(scope="module")
+def fuzz_sf(spark, tmp_path_factory):
+    import random
+
+    rng = random.Random("fuzz-corpus:r5")
+    sf = str(tmp_path_factory.mktemp("fuzz-sf"))
+    docs = []
+    for i in range(30):
+        t = _fuzz_text(rng)
+        if rng.random() < 0.15 and docs:  # exact duplicates
+            t = docs[rng.randrange(len(docs))][1]
+        docs.append((i, t))
+    spark.createDataFrame(
+        [
+            (i, t, rng_lang, f"src{i % 4}", len(t))
+            for (i, t), rng_lang in zip(
+                docs, (random.Random(f"l{i}").choice(["en", "de", "fr"]) for i, _ in docs)
+            )
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.parquet(os.path.join(sf, "documents.parquet"))
+    vec_rng = random.Random("fuzz-vecs:r5")
+    embs = []
+    for i in range(40):
+        r = vec_rng.random()
+        if r < 0.08:
+            v = [0.0] * 8
+        elif r < 0.2 and embs:
+            v = list(embs[vec_rng.randrange(len(embs))][1])
+        else:
+            v = [vec_rng.uniform(-1, 1) for _ in range(8)]
+        embs.append((i, v, i % 3))
+    spark.createDataFrame(
+        [(i, [float(x) for x in v], lb) for i, v, lb in embs],
+        "vec_id long, embedding array<float>, label int",
+    ).coalesce(1).write.parquet(os.path.join(sf, "embeddings.parquet"))
+    return sf
+
+
+@pytest.mark.parametrize("name", EDGE_KEYS)
+def test_fuzz_corpus_matches_oracle(spark, fuzz_sf, name):
+    """Same gate as the edge sweep, on seeded RANDOM content — covers
+    interaction cases no hand-picked fixture enumerates. The seed is
+    fixed, so a failure here is a deterministic reproducer, not a
+    flake."""
+    if name == "iceberg_dry_run":
+        pytest.skip("statement-text oracle is corpus-stat-shaped, not per-row")
+    sql = entry_mod.oracle_sql()[name]
+    if name == "rng_chunk_checksums":
+        from deepdoc_api_spark.ops.rng_oracle import rng_chunk_checksums_sql
+
+        sql = rng_chunk_checksums_sql(fuzz_sf)
+    q = entry_mod.queries()[name]
+    sdf = q(spark, fuzz_sf)
+    srows = [tuple(_norm(v) for v in row) for row in sdf.collect()]
+    res = _duck_edge(fuzz_sf).execute(sql)
+    dcols = [d[0] for d in res.description]
+    drows = [tuple(_norm(v) for v in row) for row in res.fetchall()]
+    assert sdf.columns == dcols, f"{name}: column mismatch"
+    assert len(srows) == len(drows), (
+        f"{name}: row count {len(srows)} vs {len(drows)}"
+    )
+    assert sorted(srows) == sorted(drows), f"{name}: fuzz value mismatch"
