@@ -165,17 +165,45 @@ def run_bench(sf_dir: str, cpus: int, replicate: int) -> dict:
             chunk_documents(spans, ct).count()
             timings[name] = round(time.monotonic() - t0, 3)
 
+        # Ops block in a FRESH SparkSession (round-5 VERDICT #1): the
+        # r5 driver run recorded first-run regressions up to 2.7x on
+        # ops queries — including one whose code was untouched — right
+        # after flagship passes whose per-pass calib showed a slow host
+        # window (0.49/0.46 vs 0.34 normal). Two confounds are removed
+        # here: (a) accumulated session state from the flagship passes
+        # (cached blocks, shuffle files, GC pressure from the Arrow
+        # kernels) no longer leaks into the first ops measurement —
+        # the context is restarted; (b) host drift is now VISIBLE per
+        # query via `queries_calib` (a calib probe beside every
+        # first-run measure), so any future outlier carries its own
+        # host reference instead of being unattributable.
+        spark.stop()
+        os.environ["SPARK_GRAFT_CPUS"] = str(cpus)
+        spark = get_spark(
+            app_name=f"ddspark-bench-ops-{cpus}",
+            master=f"local[{cpus}]",
+            shuffle_partitions=max(2 * cpus, 16),
+            kernel_split_bytes=KERNEL_SPLIT_BYTES,
+        )
+        spark.range(cpus * 2).repartition(cpus * 2).mapInPandas(
+            lambda it: (pdf for pdf in it), "id long"
+        ).write.format("noop").mode("overwrite").save()
+
         from deepdoc_api_spark.ops import fallback_text
 
-        # Two passes per ops query: the FIRST-run number stays the
-        # primary series (`queries`, comparable to every earlier
-        # round), the second lands in `queries_warm` — steady-state
-        # cost with plan/codegen/JIT constants amortized, i.e. what a
-        # long-running cluster pays per invocation. At this test scale
-        # the one-time constants dominate several similarity queries
-        # (measured identical across code rounds), so the warm series
-        # is the scale-relevant signal.
+        # Two passes per ops query, back to back: the FIRST-run number
+        # stays the primary series (`queries`, comparable to every
+        # earlier round), the immediate second pass lands in
+        # `queries_warm` — steady-state cost with plan/codegen/JIT
+        # constants amortized, i.e. what a long-running cluster pays
+        # per invocation. At this test scale the one-time constants
+        # dominate several similarity queries (measured identical
+        # across code rounds), so the warm series is the
+        # scale-relevant signal. (r5 ran two full loops instead of
+        # per-query pairs; per-query pairs keep the warm measurement
+        # adjacent to its cold one, same host window.)
         warm: dict = {}
+        qcalib: dict = {}
         ops_queries = (
             ("dedup_minhash_lsh", dedup.lsh_band_buckets),
             ("dedup_jaccard_pairs", dedup.jaccard_near_dup_pairs),
@@ -189,15 +217,20 @@ def run_bench(sf_dir: str, cpus: int, replicate: int) -> dict:
             ("fallback_window", fallback_text.fallback_window_chunks),
             ("text_quality_lang", None),
         )
-        for target in (timings, warm):
-            for name, fn in ops_queries:
-                t0 = time.monotonic()
-                if name == "text_quality_lang":
-                    _noop_write(text_analysis.quality_score(spark, sf_dir))
-                    _noop_write(text_analysis.lang_id(spark, sf_dir))
-                else:
-                    _noop_write(fn(spark, sf_dir))
-                target[name] = round(time.monotonic() - t0, 3)
+
+        def _run_once(name, fn):
+            t0 = time.monotonic()
+            if name == "text_quality_lang":
+                _noop_write(text_analysis.quality_score(spark, sf_dir))
+                _noop_write(text_analysis.lang_id(spark, sf_dir))
+            else:
+                _noop_write(fn(spark, sf_dir))
+            return time.monotonic() - t0
+
+        for name, fn in ops_queries:
+            timings[name] = round(_run_once(name, fn), 3)
+            qcalib[name] = round(_calibrate_host(), 3)
+            warm[name] = round(_run_once(name, fn), 3)
 
         return {
             "metric": "e2e_hybrid_extract_chunk_sec",
@@ -205,6 +238,11 @@ def run_bench(sf_dir: str, cpus: int, replicate: int) -> dict:
             "unit": "sec",
             "queries": timings,
             "queries_warm": warm,
+            # host reference measured BESIDE each first-run ops query
+            # (same probe as calib_sec): attributes any single-query
+            # outlier to host drift vs code (round-5 VERDICT #1)
+            "queries_calib": qcalib,
+            "ops_session": "fresh",
             "sf": _sf_of(sf_dir),
             "n_docs": n_docs,
             "n_chunks": n_chunks,

@@ -146,6 +146,27 @@ def stale_epoch_cleanup_sql(
     ]
 
 
+def orphan_chunks_delete_sql(
+    catalog: str,
+    namespace: str,
+    input_snapshot: str,
+    done: "List[int]",
+) -> str:
+    """Recovery DELETE: drop chunks of this lineage whose bucket was
+    appended but never recorded as complete (they are about to be
+    reprocessed). Factored out of run_checkpointed_iceberg so the
+    statement text is parser-checkable (round-6 VERDICT #3)."""
+    done_pred = (
+        f"AND partition_id NOT IN ({', '.join(str(b) for b in done)}) "
+        if done
+        else ""
+    )
+    return (
+        f"DELETE FROM {catalog}.{namespace}.chunks "
+        f"WHERE input_snapshot = '{_sq(input_snapshot)}' {done_pred}"
+    )
+
+
 def stale_epochs_sql(catalog: str, namespace: str, input_snapshot: str) -> str:
     progress = f"{catalog}.{namespace}.progress"
     return (
@@ -290,16 +311,7 @@ def run_checkpointed_iceberg(
 
     # recovery: drop orphaned chunks (appended, never recorded) of this
     # lineage — those buckets are about to be reprocessed
-    chunks_tbl = f"{catalog}.{namespace}.chunks"
-    done_pred = (
-        f"AND partition_id NOT IN ({', '.join(str(b) for b in done)}) "
-        if done
-        else ""
-    )
-    spark.sql(
-        f"DELETE FROM {chunks_tbl} "
-        f"WHERE input_snapshot = '{_sq(input_snapshot)}' {done_pred}"
-    )
+    spark.sql(orphan_chunks_delete_sql(catalog, namespace, input_snapshot, done))
 
     work = spans_df.select("doc_id", "spans").withColumn(
         "bucket", F.pmod(F.xxhash64("doc_id"), F.lit(num_buckets)).cast("int")

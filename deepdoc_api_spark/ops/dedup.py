@@ -338,9 +338,18 @@ _QUOTE_MIN_WORDS = 60
 _QUOTE_DOC_MOD = 4
 
 def _containment_pairs_from_words(
-    words: DataFrame, threshold_milli: int
+    words: DataFrame,
+    threshold_milli: int,
+    probe_k: int = CONTAINMENT_PROBE_K,
 ) -> DataFrame:
     """Core of the containment op over a (doc_id, w) words relation.
+
+    ``probe_k`` is the per-doc probe count: the blocking miss bound is
+    (1-c)^probe_k per contained doc (see CONTAINMENT_PROBE_K). The
+    default 2 trades a ~4% miss bound at containment 0.8 for halved
+    probe-join fan-out; recall-sensitive runs should pass 4 (bound
+    ~0.16%). Gated by tests/test_plans.py::
+    test_containment_probe_recall_bound_invariant (round-5 ADVICE).
 
     Candidates = MinHash-LSH band pairs (the Jaccard-shaped blocking,
     shared with :func:`jaccard_near_dup_pairs`) ∪ inverted-index pairs
@@ -441,7 +450,7 @@ def _containment_pairs_from_words(
         probe_cand.join(bad_h, "h", "left_anti")
         .groupBy("doc_id")
         .agg(F.expr(
-            f"slice(array_sort(collect_list(h)), 1, {CONTAINMENT_PROBE_K})"
+            f"slice(array_sort(collect_list(h)), 1, {probe_k})"
         ).alias("ph"))
         .selectExpr("doc_id", "explode(ph) as h")
     )
@@ -472,7 +481,10 @@ def _containment_pairs_from_words(
 
 
 def containment_near_dup_pairs(
-    spark: SparkSession, sf_dir: str, threshold_milli: int = 800
+    spark: SparkSession,
+    sf_dir: str,
+    threshold_milli: int = 800,
+    probe_k: int = CONTAINMENT_PROBE_K,
 ) -> DataFrame:
     """Shingle-containment pairs: ``|A∩B| / min(|A|,|B|)`` ≥ threshold.
 
@@ -486,7 +498,7 @@ def containment_near_dup_pairs(
     keyed on the smaller doc — see :func:`_containment_pairs_from_words`.
     """
     return _containment_pairs_from_words(
-        _docs_words(spark, sf_dir), threshold_milli
+        _docs_words(spark, sf_dir), threshold_milli, probe_k=probe_k
     )
 
 

@@ -61,16 +61,23 @@ def _canon_expr() -> str:
         f"cast(cast(floor(bbox.{k} * 1000000) as bigint) as string)"
         for k in _BBOX_KEYS
     )
+    # every field is coalesced to char(0): concat_ws silently DROPS null
+    # arguments, so a null in any non-coalesced field would shift the
+    # canonical string instead of failing or matching the Python flavor
+    # (round-5 ADVICE) — _canon_py mirrors NULL_S for the same fields
     return (
-        "concat_ws(char(31), chunk_id, cast(chunk_index as string),"
+        "concat_ws(char(31),"
+        " coalesce(chunk_id, char(0)),"
+        " coalesce(cast(chunk_index as string), char(0)),"
         " coalesce(kind, char(0)), coalesce(text, char(0)),"
         " coalesce(media_ref, char(0)),"
         " coalesce(array_join(transform(pages, p -> cast(p as string)), ','),"
         " char(0)),"
         " coalesce(array_join(hierarchy, char(30)), char(0)),"
         " coalesce(array_join(headings, char(30)), char(0)),"
-        " chunker_type, cast(chunk_size as string),"
-        " cast(chunk_overlap as string),"
+        " coalesce(chunker_type, char(0)),"
+        " coalesce(cast(chunk_size as string), char(0)),"
+        " coalesce(cast(chunk_overlap as string), char(0)),"
         f" case when bbox is null then char(0)"
         f" else concat_ws(',', {bbox_parts}) end,"
         " coalesce(extractor_used, char(0)))"
@@ -82,18 +89,25 @@ def _canon_py(row: Dict) -> str:
     hierarchy = row.get("hierarchy")
     headings = row.get("headings")
     bbox = row.get("bbox")
+    def _s(key: str) -> str:
+        # NULL → NULL_S for EVERY scalar field, mirroring _canon_expr's
+        # blanket coalesce (round-5 ADVICE: the two flavors must treat a
+        # nullable-schema drift identically, not error vs shift)
+        v = row.get(key)
+        return NULL_S if v is None else str(v)
+
     parts = [
-        row["chunk_id"],
-        str(row["chunk_index"]),
-        row.get("kind") if row.get("kind") is not None else NULL_S,
-        row.get("text") if row.get("text") is not None else NULL_S,
-        row.get("media_ref") if row.get("media_ref") is not None else NULL_S,
+        _s("chunk_id"),
+        _s("chunk_index"),
+        _s("kind"),
+        _s("text"),
+        _s("media_ref"),
         NULL_S if pages is None else ",".join(str(int(p)) for p in pages),
         NULL_S if hierarchy is None else SUB.join(hierarchy),
         NULL_S if headings is None else SUB.join(headings),
-        row["chunker_type"],
-        str(row["chunk_size"]),
-        str(row["chunk_overlap"]),
+        _s("chunker_type"),
+        _s("chunk_size"),
+        _s("chunk_overlap"),
         NULL_S
         if bbox is None
         else ",".join(

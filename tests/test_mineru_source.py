@@ -212,3 +212,53 @@ def test_reader_plan_is_jvm_only(spark, tmp_path):
         .toString()
     )
     assert "EvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_overflow_page_keeps_reading_order(spark, tmp_path):
+    """Round-5 ADVICE: a page with more than PAGE_SIZE spans must not
+    interleave its tail into the NEXT page's reading order. The folded
+    scalar sort key (page_idx*PAGE_SIZE + ordinal) did exactly that;
+    the assembly now sorts on the unfolded (page_idx, ordinal) pair.
+    Offset LABELS for the overflow tail stay capped at the page's last
+    slot (documented, visible in the data)."""
+    from deepdoc_api_spark.kernels.layout import PAGE_SIZE
+    from deepdoc_api_spark.sources.mineru_json import spans_from_mineru_json
+
+    n0 = PAGE_SIZE + 5  # overflow page 0
+    doc = {
+        "doc_id": "ovf-1",
+        "pdf_info": [
+            {
+                "page_idx": 0,
+                "para_blocks": [
+                    {
+                        "type": "text",
+                        "bbox": [0, i, 10, i + 1],
+                        "lines": [{"spans": [{"content": f"p0s{i}"}]}],
+                    }
+                    for i in range(n0)
+                ],
+            },
+            {
+                "page_idx": 1,
+                "para_blocks": [
+                    {
+                        "type": "text",
+                        "bbox": [0, i, 10, i + 1],
+                        "lines": [{"spans": [{"content": f"p1s{i}"}]}],
+                    }
+                    for i in range(3)
+                ],
+            },
+        ],
+    }
+    path = _write_jsonl(tmp_path, [doc])
+    [row] = spans_from_mineru_json(spark, path).collect()
+    texts = [s.text for s in row.spans]
+    expect = [f"p0s{i}" for i in range(n0)] + [f"p1s{i}" for i in range(3)]
+    assert texts == expect, "overflow tail must precede page 1 spans"
+    offsets = [s.offset for s in row.spans]
+    # tail labels capped at page 0's last slot; page 1 starts clean
+    assert offsets[PAGE_SIZE - 1 : n0] == [PAGE_SIZE - 1] * 6
+    assert offsets[n0:] == [PAGE_SIZE, PAGE_SIZE + 1, PAGE_SIZE + 2]
+    assert offsets[: PAGE_SIZE - 1] == list(range(PAGE_SIZE - 1))

@@ -332,3 +332,46 @@ def test_embedding_quantize_int8_parity_and_bound(spark, sf_dir):
         assert 0 <= codes_sum <= 255 * dim
         # half-step bound: |x - recon| <= scale/2 (+1 nano floor slack)
         assert max_err_nano <= scale_nano // 2 + 1, vec_id
+
+
+ROTATED_OUT_R6 = [
+    # (name, spark_fn_path, sql_const_path) — rotated out of the
+    # 50-entry driver window in round 6 to surface previously
+    # pytest-only ops (VERDICT #4 rotation policy); each stays
+    # value-exact against its DuckDB oracle here.
+    ("media_frames_flat",
+     "deepdoc_api_spark.ops.flat_pipeline:media_frames_flat",
+     "deepdoc_api_spark.ops.flat_pipeline:MEDIA_FRAMES_FLAT_SQL"),
+    ("media_features_flat",
+     "deepdoc_api_spark.ops.flat_pipeline:media_features_flat",
+     "deepdoc_api_spark.ops.flat_pipeline:MEDIA_FEATURES_FLAT_SQL"),
+    ("chunk_exact_dedup_flat",
+     "deepdoc_api_spark.ops.flat_pipeline:chunk_exact_dedup_flat",
+     "deepdoc_api_spark.ops.flat_pipeline:CHUNK_EXACT_DEDUP_FLAT_SQL"),
+    ("embedding_norms",
+     "deepdoc_api_spark.ops.similarity:embedding_norms",
+     "deepdoc_api_spark.ops.similarity:EMBEDDING_NORMS_SQL"),
+]
+
+
+def _resolve(path):
+    import importlib
+
+    mod, attr = path.split(":")
+    return getattr(importlib.import_module(mod), attr)
+
+
+@pytest.mark.parametrize(
+    "name,fn_path,sql_path", ROTATED_OUT_R6, ids=[r[0] for r in ROTATED_OUT_R6]
+)
+def test_rotated_out_parity_pinned(spark, sf_dir, name, fn_path, sql_path):
+    from deepdoc_api_spark.job.session import ship_package
+
+    ship_package(spark)
+    sdf = _resolve(fn_path)(spark, sf_dir)
+    srows = [tuple(_norm(v) for v in row) for row in sdf.collect()]
+    res = _duck(sf_dir).execute(_resolve(sql_path))
+    dcols = [d[0] for d in res.description]
+    drows = [tuple(_norm(v) for v in row) for row in res.fetchall()]
+    assert sdf.columns == dcols, name
+    assert sorted(srows) == sorted(drows) and len(srows) > 0, name

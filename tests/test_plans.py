@@ -664,3 +664,59 @@ def test_nlist_formula_matches_oracle_params_cte(spark):
         )
         got = con.execute(sql).fetchone()[0]
         assert got == nlist_for(n), (n, got, nlist_for(n))
+
+
+def test_containment_probe_recall_bound_invariant(spark):
+    """Round-5 ADVICE: gate CONTAINMENT_PROBE_K changes on the recall
+    target instead of disclosing them in a comment.
+
+    (a) Analytic: the blocking miss bound (1-c)^K at the op's design
+        point c=0.8 must stay ≤ 5% — K=2 gives 4%; dropping to K=1
+        (20%) fails here loudly. CAND must keep ≥4 slots of
+        stop-shingle slack above K so the bound survives boilerplate-
+        fronted docs.
+    (b) Empirical (deterministic — md5 hashing of a fixed corpus): 60
+        planted base⊃quote pairs at containment ≈0.9 (miss bound 1%
+        per pair at K=2); measured recall of the full op must hold
+        ≥95%, and probe_k=4 (the documented recall-sensitive setting)
+        must find at least as many pairs.
+    """
+    from deepdoc_api_spark.ops.dedup import (
+        CONTAINMENT_PROBE_CAND,
+        CONTAINMENT_PROBE_K,
+        _containment_pairs_from_words,
+    )
+
+    assert (1 - 0.8) ** CONTAINMENT_PROBE_K <= 0.05, (
+        f"K={CONTAINMENT_PROBE_K} breaks the (1-c)^K <= 5% recall "
+        "target at c=0.8 — raise K or revise the documented bound"
+    )
+    assert CONTAINMENT_PROBE_CAND - CONTAINMENT_PROBE_K >= 4
+
+    n_pairs = 60
+    rows = []
+    for i in range(n_pairs):
+        big = [f"p{i}w{j}" for j in range(40)]          # 38 shingles
+        small = big[:36] + [f"q{i}t{j}" for j in range(4)]
+        # |H(small)∩H(big)| = 34 of small's 38 shingles → c ≈ 0.895
+        rows.append((10_000 + i, big))
+        rows.append((20_000 + i, small))
+    words = spark.createDataFrame(
+        rows, "doc_id long, w array<string>"
+    ).repartition(8, "doc_id")
+
+    def recall(probe_k: int) -> float:
+        found = {
+            (r.doc_a, r.doc_b)
+            for r in _containment_pairs_from_words(
+                words, 800, probe_k=probe_k
+            ).collect()
+        }
+        hits = sum(
+            (10_000 + i, 20_000 + i) in found for i in range(n_pairs)
+        )
+        return hits / n_pairs
+
+    r_default = recall(CONTAINMENT_PROBE_K)
+    assert r_default >= 0.95, f"planted recall {r_default} at default K"
+    assert recall(4) >= r_default
