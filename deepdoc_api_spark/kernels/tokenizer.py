@@ -29,8 +29,15 @@ def tokenize(text: str) -> List[str]:
 
 
 def count_tokens(text: str) -> int:
-    """Number of tokens in ``text`` under the engine's tokenizer."""
-    return len(_TOKEN_RE.findall(text or ""))
+    """Number of tokens in ``text`` under the engine's tokenizer.
+
+    ``subn`` instead of ``len(findall)``: the match count is identical
+    (same pattern, same scan) but the only allocation is one small
+    whitespace-residue string instead of one string per token — the
+    kernel calls this ~200×/doc and the 32-core ceiling is allocator
+    bandwidth (BENCH/BASELINE.md control), so garbage per call matters
+    more than single-core speed here."""
+    return _TOKEN_RE.subn("", text or "")[1]
 
 
 def truncate_tokens(text: str, max_tokens: int) -> str:

@@ -417,35 +417,37 @@ def _containment_pairs_from_words(
     )
     hashed = grams.select("doc_id", "hs")
     index = hashed.selectExpr("doc_id", "explode(hs) as h")
-    # df cap applied on the index side only: a frequent hash surviving
-    # on the probe side joins an empty index bucket, so the fan-out
-    # bound holds with one pruned side (and DuckDB mirrors exactly).
-    # Pruning is an ANTI-join against the FREQUENT hashes (round 4):
-    # almost every hash is rare, so joining the full index against the
-    # ok-set shuffles O(corpus tokens) on both sides — whereas at most
-    # total_shingles / MAX_SHINGLE_DF distinct hashes can exceed the
-    # cap, a relation 64×+ smaller that AQE turns into a broadcast
-    # anti-join at any realistic scale (left explicitly to AQE, not
-    # F.broadcast: at extreme corpus sizes even this side may outgrow
-    # a broadcast, and a shuffled anti-join is still strictly cheaper
-    # than the ok-side equi-join it replaces).
+    # df cap applied on the PROBE side only (round 6): every probe hash
+    # is anti-joined against the frequent set below, so the candidate
+    # join can hit the FULL index — any h it joins on has df ≤
+    # MAX_SHINGLE_DF by construction, the per-probe fan-out bound holds
+    # with zero index-side pruning, and the O(corpus-tokens) idx_ok
+    # anti-join shuffle round 4/5 paid is gone entirely (one fewer full
+    # pass over the exploded index; the result set is provably
+    # identical, which is why the oracle needs no change). bad_h stays
+    # 64×+ smaller than the index and joins the tiny probe side — AQE
+    # broadcasts it at any realistic scale.
+    probe_cand = hashed.selectExpr(
+        "doc_id",
+        f"explode(slice(array_sort(hs), 1, {CONTAINMENT_PROBE_CAND})) as h",
+    )
+    # (A round-6 A/B also tried semi-joining the index down to
+    # probe-candidate buckets before this aggregation; the extra
+    # distinct+join cost more than the full map-side-combined groupBy
+    # it saved — measured 4.8 s vs 3.6 s warm at sf0.1 — so the plain
+    # full-index df stays.)
     bad_h = (
         index.groupBy("h")
         .agg(F.count("*").alias("df"))
         .filter(F.col("df") > MAX_SHINGLE_DF)
         .select("h")
     )
-    idx_ok = index.join(bad_h, "h", "left_anti")
     # probe = the K smallest NON-frequent hashes per doc: pre-slice the
     # CAND smallest per row (O(CAND·docs) rows — tiny), drop the
-    # stop-shingles with the same anti-join, keep the K smallest
-    # survivors. The per-doc re-slice shuffles ≤ CAND rows per doc of
-    # (doc_id, h) scalars — negligible next to the O(corpus-tokens)
-    # index at any scale.
-    probe_cand = hashed.selectExpr(
-        "doc_id",
-        f"explode(slice(array_sort(hs), 1, {CONTAINMENT_PROBE_CAND})) as h",
-    )
+    # stop-shingles with the anti-join, keep the K smallest survivors.
+    # The per-doc re-slice shuffles ≤ CAND rows per doc of (doc_id, h)
+    # scalars — negligible next to the O(corpus-tokens) index at any
+    # scale.
     probe = (
         probe_cand.join(bad_h, "h", "left_anti")
         .groupBy("doc_id")
@@ -456,7 +458,7 @@ def _containment_pairs_from_words(
     )
     cands_ii = (
         probe.alias("a")
-        .join(idx_ok.alias("b"), "h")
+        .join(index.alias("b"), "h")
         .filter("a.doc_id != b.doc_id")
         .selectExpr(
             "least(a.doc_id, b.doc_id) as doc_a",

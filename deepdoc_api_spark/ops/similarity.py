@@ -952,7 +952,7 @@ cent AS (SELECT cid, c FROM (
 s2 AS (SELECT e.vec_id, e.embedding, cent.cid,
               {cos('e.embedding', 'cent.c')} AS sim_micro
        FROM e, cent),
-a2 AS (SELECT vec_id, embedding, cid FROM (
+a2 AS MATERIALIZED (SELECT vec_id, embedding, cid FROM (
          SELECT *, row_number() OVER (PARTITION BY vec_id
                    ORDER BY sim_micro DESC, cid ASC) AS rn FROM s2)
        WHERE rn = 1)"""
@@ -1145,6 +1145,45 @@ def _semantic_dedup_from(
         final = assign.selectExpr(
             "vec_id", "embedding", "nv", f"cid * {mult} as fcid"
         )
+
+    # depth-2 (round 6, VERDICT #6): a first-level cell can exceed
+    # max_cluster_vecs × MAX_SUB_CELLS (at 10^11 vectors with nlist
+    # capped at 65536, the expected cell is ~1.5M vectors needing ~750
+    # sub-cells vs the 64-cap), so sub-cells still over capacity after
+    # the first split are split ONCE MORE by the identical recipe —
+    # the fold multiplies uniformly (fcid·mult at every depth, +scid+1
+    # for split members) so both engines agree on the composite key
+    # regardless of which branches fire. Coverage after depth-2:
+    # cells ≤ max·64·64/2 ≈ 8.4M vectors, i.e. ~5×10^11 vectors at
+    # nlist=65536 before overflow-flagging returns.
+    sizes_mid = final.groupBy("fcid").agg(F.count("*").alias("n_vecs"))
+    over2 = sizes_mid.filter(F.col("n_vecs") > max_cluster_vecs).selectExpr(
+        "fcid", f"{_nsub_expr('n_vecs', max_cluster_vecs)} as nsub"
+    )
+    has_overflow2 = has_overflow and bool(over2.limit(1).count())
+    if has_overflow2:
+        sub2 = _subcluster_overflow(
+            final.withColumnRenamed("fcid", "cid"),
+            over2.withColumnRenamed("fcid", "cid"),
+            max_cluster_vecs,
+        )
+        non_over2 = final.join(
+            F.broadcast(over2.select("fcid")), "fcid", "left_anti"
+        ).selectExpr("fcid as cid", "vec_id", "embedding", "nv",
+                     "cast(null as bigint) as scid")
+        final = _checkpoint(
+            non_over2.unionByName(
+                sub2.select("cid", "vec_id", "embedding", "nv", "scid")
+            ).selectExpr(
+                "vec_id", "embedding", "nv",
+                f"cid * {mult} + coalesce(scid + 1, 0) as fcid",
+            ),
+            eager=True,
+        )
+    else:
+        final = final.selectExpr(
+            "vec_id", "embedding", "nv", f"fcid * {mult} as fcid"
+        )
     sizes2 = final.groupBy("fcid").agg(F.count("*").alias("n_vecs"))
     ok = sizes2.filter(F.col("n_vecs") <= max_cluster_vecs).select("fcid")
     members = final.join(F.broadcast(ok), "fcid")
@@ -1240,74 +1279,30 @@ def _semantic_dedup_sql(
     nlist: Optional[int] = None,
     max_cluster_vecs: int = MAX_CLUSTER_VECS,
 ) -> str:
-    """DuckDB mirror of :func:`_semantic_dedup_from` incl. the round-5
-    depth-1 sub-clustering: over-capacity cells re-seed from their
-    lowest non-negative vec_ids, one integer-micro Lloyd step, then the
-    final cluster key folds (cid, scid) into ``cid·(MAX_SUB_CELLS+1) +
-    scid+1`` (``+0`` for members of never-split or seedless cells)."""
+    """DuckDB mirror of :func:`_semantic_dedup_from` incl. the depth-1
+    (round 5) AND depth-2 (round 6) sub-clustering: over-capacity
+    cells re-seed from their lowest non-negative vec_ids, one
+    integer-micro Lloyd step, the cluster key folds uniformly by
+    ``·(MAX_SUB_CELLS+1) (+scid+1 for split members)`` at EACH depth —
+    both depths are the same CTE block (:func:`_subcluster_block`)
+    applied to the previous depth's output."""
     cos = _duck_cos
     nlist_sql = "(SELECT nlist FROM params)" if nlist is None else str(nlist)
     m = max_cluster_vecs
-    mult = MAX_SUB_CELLS + 1
-    nsub = (
-        f"least({MAX_SUB_CELLS}, 2 * ((n_vecs + {m - 1}) // {m}))"
-    )
     return f"""
 WITH e0 AS ({source_sql}),
-e AS (SELECT * FROM e0 WHERE {_NONZERO_SQL}),
+e AS MATERIALIZED (SELECT * FROM e0 WHERE {_NONZERO_SQL}),
 {_nlist_params_sql()},
 {_kmeans_ctes_sql(nlist_sql)},
-sizes AS (SELECT cid, count(*) AS n_vecs FROM a2 GROUP BY cid),
-over_c AS (SELECT cid, {nsub} AS nsub FROM sizes WHERE n_vecs > {m}),
-mem AS (SELECT a2.vec_id, a2.embedding, a2.cid, over_c.nsub
-        FROM a2 JOIN over_c USING (cid)),
-sseed AS (SELECT cid, scid, c FROM (
-            SELECT cid, nsub, embedding AS c,
-                   row_number() OVER (PARTITION BY cid ORDER BY vec_id)
-                     - 1 AS scid
-            FROM mem WHERE vec_id >= 0)
-          WHERE scid < nsub),
-sb1 AS (SELECT mem.vec_id, mem.embedding, mem.cid, sseed.scid,
-               {cos('mem.embedding', 'sseed.c')} AS sim_micro
-        FROM mem JOIN sseed USING (cid)),
-sa1 AS (SELECT vec_id, embedding, cid, scid FROM (
-          SELECT *, row_number() OVER (PARTITION BY vec_id
-                    ORDER BY sim_micro DESC, scid ASC) AS rn FROM sb1)
-        WHERE rn = 1),
-scomps AS (SELECT cid, scid,
-                  unnest(range(1, len(embedding) + 1)) AS dim,
-                  unnest(list_transform(embedding,
-                         x -> CAST(floor(x::DOUBLE * 1000000) AS BIGINT)))
-                    AS xm
-           FROM sa1),
-scent AS (SELECT cid, scid, c FROM (
-            SELECT cid, scid, list(CAST(s AS DOUBLE) ORDER BY dim) AS c
-            FROM (SELECT cid, scid, dim, sum(xm) AS s FROM scomps
-                  GROUP BY cid, scid, dim)
-            GROUP BY cid, scid)
-          WHERE len(list_filter(c, x -> x <> 0)) > 0),
-sb2 AS (SELECT mem.vec_id, mem.cid, scent.scid,
-               {cos('mem.embedding', 'scent.c')} AS sim_micro
-        FROM mem JOIN scent USING (cid)),
-sa2 AS (SELECT vec_id, cid, scid FROM (
-          SELECT *, row_number() OVER (PARTITION BY vec_id
-                    ORDER BY sim_micro DESC, scid ASC) AS rn FROM sb2)
-        WHERE rn = 1),
-fin AS (
-  SELECT a2.vec_id, a2.embedding,
-         a2.cid * {mult} AS fcid
-  FROM a2 WHERE a2.cid NOT IN (SELECT cid FROM over_c)
-  UNION ALL
-  SELECT mem.vec_id, mem.embedding,
-         mem.cid * {mult} + coalesce(sa2.scid + 1, 0) AS fcid
-  FROM mem LEFT JOIN sa2 ON sa2.vec_id = mem.vec_id),
-sizes2 AS (SELECT fcid, count(*) AS n_vecs FROM fin GROUP BY fcid),
+{_subcluster_block("a2", "cid", "fcid1", "1", m)},
+{_subcluster_block("fin1", "fcid1", "fcid", "2", m)},
+sizesf AS MATERIALIZED (SELECT fcid, count(*) AS n_vecs FROM fin2 GROUP BY fcid),
 pairs AS (SELECT id_a, id_b, sim_micro FROM (
             SELECT x.vec_id AS id_a, y.vec_id AS id_b,
                    {cos('x.embedding', 'y.embedding')} AS sim_micro
-            FROM fin x JOIN fin y USING (fcid)
-                 JOIN sizes2 USING (fcid)
-            WHERE x.vec_id < y.vec_id AND sizes2.n_vecs <= {m})
+            FROM fin2 x JOIN fin2 y USING (fcid)
+                 JOIN sizesf USING (fcid)
+            WHERE x.vec_id < y.vec_id AND sizesf.n_vecs <= {m})
           WHERE sim_micro >= {tau_micro}),
 partners AS (SELECT id_a AS vec_id, id_b AS partner FROM pairs
              UNION ALL
@@ -1316,14 +1311,71 @@ per_vec AS (SELECT vec_id, count(*) AS nd,
                    max(CASE WHEN partner < vec_id THEN 1 ELSE 0 END)
                      AS has_lower
             FROM partners GROUP BY vec_id)
-SELECT fin.vec_id,
-       fin.fcid::BIGINT AS cluster_id,
+SELECT fin2.vec_id,
+       fin2.fcid::BIGINT AS cluster_id,
        coalesce(per_vec.nd, 0)::BIGINT AS n_dup_partners,
        coalesce(per_vec.has_lower, 0) = 1 AS is_semantic_dup,
-       sizes2.n_vecs > {m} AS cluster_overflow
-FROM fin JOIN sizes2 USING (fcid)
-     LEFT JOIN per_vec ON per_vec.vec_id = fin.vec_id
+       sizesf.n_vecs > {m} AS cluster_overflow
+FROM fin2 JOIN sizesf USING (fcid)
+     LEFT JOIN per_vec ON per_vec.vec_id = fin2.vec_id
 """
+
+
+def _subcluster_block(src: str, cell: str, out: str, tag: str, m: int) -> str:
+    """One depth of the sub-clustering recipe as a CTE chain: split
+    every over-capacity cell of relation ``src`` (columns vec_id,
+    embedding, ``cell``), emitting ``fin{tag}`` with the folded key
+    ``out`` = ``cell·(MAX_SUB_CELLS+1) + scid+1`` (``+0`` for members
+    of never-split or seedless cells). Identical arithmetic to the
+    Spark side's :func:`_subcluster_overflow` + fold."""
+    cos = _duck_cos
+    mult = MAX_SUB_CELLS + 1
+    nsub = f"least({MAX_SUB_CELLS}, 2 * ((n_vecs + {m - 1}) // {m}))"
+    return f"""sizes{tag} AS (SELECT {cell}, count(*) AS n_vecs FROM {src} GROUP BY {cell}),
+over{tag} AS MATERIALIZED (SELECT {cell}, {nsub} AS nsub FROM sizes{tag} WHERE n_vecs > {m}),
+mem{tag} AS MATERIALIZED (SELECT {src}.vec_id, {src}.embedding, {src}.{cell}, over{tag}.nsub
+        FROM {src} JOIN over{tag} USING ({cell})),
+sseed{tag} AS (SELECT {cell}, scid, c FROM (
+            SELECT {cell}, nsub, embedding AS c,
+                   row_number() OVER (PARTITION BY {cell} ORDER BY vec_id)
+                     - 1 AS scid
+            FROM mem{tag} WHERE vec_id >= 0)
+          WHERE scid < nsub),
+sb1{tag} AS (SELECT mem{tag}.vec_id, mem{tag}.embedding, mem{tag}.{cell},
+               sseed{tag}.scid,
+               {cos(f'mem{tag}.embedding', f'sseed{tag}.c')} AS sim_micro
+        FROM mem{tag} JOIN sseed{tag} USING ({cell})),
+sa1{tag} AS (SELECT vec_id, embedding, {cell}, scid FROM (
+          SELECT *, row_number() OVER (PARTITION BY vec_id
+                    ORDER BY sim_micro DESC, scid ASC) AS rn FROM sb1{tag})
+        WHERE rn = 1),
+scomps{tag} AS (SELECT {cell}, scid,
+                  unnest(range(1, len(embedding) + 1)) AS dim,
+                  unnest(list_transform(embedding,
+                         x -> CAST(floor(x::DOUBLE * 1000000) AS BIGINT)))
+                    AS xm
+           FROM sa1{tag}),
+scent{tag} AS (SELECT {cell}, scid, c FROM (
+            SELECT {cell}, scid, list(CAST(s AS DOUBLE) ORDER BY dim) AS c
+            FROM (SELECT {cell}, scid, dim, sum(xm) AS s FROM scomps{tag}
+                  GROUP BY {cell}, scid, dim)
+            GROUP BY {cell}, scid)
+          WHERE len(list_filter(c, x -> x <> 0)) > 0),
+sb2{tag} AS (SELECT mem{tag}.vec_id, mem{tag}.{cell}, scent{tag}.scid,
+               {cos(f'mem{tag}.embedding', f'scent{tag}.c')} AS sim_micro
+        FROM mem{tag} JOIN scent{tag} USING ({cell})),
+sa2{tag} AS (SELECT vec_id, {cell}, scid FROM (
+          SELECT *, row_number() OVER (PARTITION BY vec_id
+                    ORDER BY sim_micro DESC, scid ASC) AS rn FROM sb2{tag})
+        WHERE rn = 1),
+fin{tag} AS MATERIALIZED (
+  SELECT {src}.vec_id, {src}.embedding,
+         {src}.{cell} * {mult} AS {out}
+  FROM {src} WHERE {src}.{cell} NOT IN (SELECT {cell} FROM over{tag})
+  UNION ALL
+  SELECT mem{tag}.vec_id, mem{tag}.embedding,
+         mem{tag}.{cell} * {mult} + coalesce(sa2{tag}.scid + 1, 0) AS {out}
+  FROM mem{tag} LEFT JOIN sa2{tag} ON sa2{tag}.vec_id = mem{tag}.vec_id)"""
 
 
 def semantic_dedup_planted_sql(

@@ -447,3 +447,38 @@ def test_g12_heading_stack_trims_to_level_then_appends():
     # and merges never bridge a heading change (distinct meta — G10's
     # predicate seen from the negative side)
     assert len(chunks) == 3
+
+
+def test_g13_token_counting_is_uncapped_past_model_max():
+    """G13 (round 6): token counting never clamps at the embedding
+    model's max length. docling-core's HybridChunker counts via
+    ``tokenizer.tokenize(text)`` (tokenization, not encoding), which
+    NEVER truncates — truncation is an encode-time option — so a body
+    far beyond the 512 max counts at its full length, and the split
+    loop divides it into the arithmetically right number of pieces. A
+    counter that silently clamped at 512 (an easy bug when wiring an
+    HF tokenizer with ``truncation=True``) would emit ONE piece and
+    break budget soundness. Engine mirror: ``count_tokens`` is exact
+    at any length; pinned against the closed-form piece count."""
+    budget = 512
+    n_words = 6000  # each word = 1 token under the regex tokenizer
+    body = " ".join(f"w{i}" for i in range(n_words))
+    assert count_tokens(body) == n_words, "count must not clamp at 512"
+
+    heading = "Intro"
+    ctx = count_tokens(heading)
+    chunks = hybrid_chunks([rec("title", heading), rec("text", body)],
+                           budget=budget)
+    avail = budget - ctx
+    import math
+
+    assert len(chunks) == math.ceil(n_words / avail)
+    # every piece fits: body tokens <= budget - ctx, context repeated
+    for c in chunks:
+        assert c["headings"] == [heading]
+        assert count_tokens(c["text"]) <= budget
+    # no words lost or reordered across the split
+    rejoined = " ".join(
+        c["text"].split("\n", 1)[1] for c in chunks
+    )
+    assert rejoined == body

@@ -720,3 +720,49 @@ def test_containment_probe_recall_bound_invariant(spark):
     r_default = recall(CONTAINMENT_PROBE_K)
     assert r_default >= 0.95, f"planted recall {r_default} at default K"
     assert recall(4) >= r_default
+
+
+def test_semantic_dedup_depth2_subclustering(spark, sf_dir):
+    """Round-5 VERDICT #6: beyond the 64-sub-cell cliff. Profile:
+    nlist=2 / max_cluster_vecs=4 at sf0.001 → first-level cells of
+    ~500 vectors, i.e. > max·MAX_SUB_CELLS = 256 — PROVABLY beyond
+    what the depth-1 split alone can resolve (64 sub-cells × 4 caps at
+    256), the same shape as a 10^11-vector corpus at nlist=65536
+    (~1.5M-vector cells vs depth-1 coverage 262k). The depth-2 pass
+    must leave ZERO cluster_overflow rows, and Spark↔DuckDB must stay
+    value-exact on the doubly-folded composite key."""
+    import duckdb
+    from collections import Counter
+
+    from deepdoc_api_spark.ops import similarity
+
+    nlist, maxv = 2, 4
+    df = similarity.semantic_dedup_planted(
+        spark, sf_dir, nlist=nlist, max_cluster_vecs=maxv
+    )
+    rows = df.collect()
+
+    con = duckdb.connect()
+    con.execute(
+        "create view embeddings as select * from"
+        f" read_parquet('{sf_dir}/embeddings.parquet')"
+    )
+    drows = con.execute(
+        similarity.semantic_dedup_planted_sql(nlist=nlist, max_cluster_vecs=maxv)
+    ).fetchall()
+    assert len(rows) == len(drows)
+    assert sorted(tuple(r) for r in rows) == sorted(
+        tuple(r) for r in drows
+    ), "depth-2 semantic dedup diverges from the DuckDB oracle"
+
+    mult = similarity.MAX_SUB_CELLS + 1
+    first_level = Counter(r.cluster_id // (mult * mult) for r in rows)
+    # non-vacuous: at least one first-level cell was beyond depth-1's
+    # arithmetic ceiling, so zero overflow proves depth-2 did real work
+    assert max(first_level.values()) > maxv * similarity.MAX_SUB_CELLS, (
+        "fixture no longer forces a beyond-depth-1 cell"
+    )
+    assert not any(r.cluster_overflow for r in rows), (
+        f"{sum(r.cluster_overflow for r in rows)} rows still overflow "
+        "after the depth-2 split"
+    )
