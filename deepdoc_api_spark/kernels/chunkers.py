@@ -62,6 +62,13 @@ def hierarchical_elements(
     Element: ``{"kind","text","media_ref","pages","headings",
     "captions","_cap_tok"}``.
     """
+    # The heading snapshot is the stack object ITSELF, shared by every
+    # element under an unchanged stack (round 6): the title branch
+    # always REBINDS before mutating (slice copy, then append on the
+    # copy), so handed-out lists are immutable in practice — verified
+    # no consumer mutates element["headings"]. Sharing halves the list
+    # allocations here AND collapses hybrid_chunks' id()-keyed ctx_tok
+    # cache to one entry per heading run instead of one per element.
     stack: List[str] = []
     elements: List[Dict] = []
     pending_captions: List[Dict] = []
@@ -91,7 +98,7 @@ def hierarchical_elements(
                         "text": cap["content"],
                         "media_ref": cap["media_ref"],
                         "pages": [cap["page"]],
-                        "headings": list(stack),
+                        "headings": stack,
                         "captions": [],
                         "_cap_tok": 0,
                         "bbox": cap.get("bbox"),
@@ -149,7 +156,7 @@ def hierarchical_elements(
                 "text": rec["content"],
                 "media_ref": rec["media_ref"],
                 "pages": pages,
-                "headings": list(stack),
+                "headings": stack,
                 "captions": captions,
                 "_cap_tok": cap_tok,
                 # O9: element keeps the FIRST record's bbox; merges below

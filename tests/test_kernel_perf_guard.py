@@ -15,10 +15,11 @@ from deepdoc_api_spark.kernels.pipeline import chunk_document
 
 # measured on this corpus mix (sf0.001 docs modulo-replicated to 400,
 # giants included): round-4 ~2.35 s at calib ~0.40 (ratio ~5.9);
-# round-5 kernel pass (fused span_bbox, scanner bindings, split-join
-# _norm) ~1.49 s at calib ~0.36 (ratio ~4.2). The guard trips on a
-# ~65% kernel-CPU regression from the round-5 level.
-MAX_RATIO = 7.0
+# round-5 kernel pass ~1.49 s at calib ~0.36 (ratio ~4.2); round-6
+# (subn token counting + shared heading snapshots collapsing the
+# ctx_tok cache) ~1.10 s at calib 0.36 (ratio ~3.05). The guard trips
+# on a ~65% kernel-CPU regression from the round-6 level.
+MAX_RATIO = 5.0
 # a calib this slow (>4x the idle-box 0.35 s) means the box is swamped;
 # normalization across that much contention is not trustworthy -> skip
 CALIB_SKIP_S = 1.5
@@ -61,5 +62,5 @@ def test_kernel_throughput_guard(sf_dir):
     assert ratio < MAX_RATIO, (
         f"kernel CPU regression: {N_DOCS} docs took {kernel_sec:.2f}s at "
         f"calib {calib:.2f}s (ratio {ratio:.1f}, guard {MAX_RATIO}); "
-        f"round-4 reference ratio ~5.9"
+        f"round-6 reference ratio ~3.05"
     )

@@ -131,3 +131,20 @@ def test_fallback_window_covers_content(text):
     joined = "".join(c["text"] for c in chunks)
     for ch in set(text) - {" ", "\n"}:
         assert joined.count(ch) >= text.count(ch) - 0  # no loss of non-ws chars
+
+
+@given(st.text(max_size=400))
+@settings(max_examples=300, deadline=None)
+def test_count_tokens_subn_equals_findall(text):
+    """Round-6 perf rewrite pin: ``count_tokens`` switched from
+    ``len(findall)`` to ``subn`` counting (same pattern, one residue
+    allocation instead of per-token strings). The two MUST agree on
+    arbitrary unicode — a divergence would silently move every split
+    boundary in the budget-shaped chunkers."""
+    import re
+
+    from deepdoc_api_spark.kernels import tokenizer
+
+    assert tokenizer.count_tokens(text) == len(
+        tokenizer._TOKEN_RE.findall(text or "")
+    )

@@ -180,15 +180,16 @@ def test_invalid_pattern_raises_driver_side(spark, sf_dir):
 def test_driver_canonicalizer_compat(spark, sf_dir, name):
     import __spark_entry__ as entry_mod
 
-    # chunks_with_embeddings left queries() in round 4 (replaced by the
-    # oracle-bearing eval_decontamination; its value-exact flat twin
-    # embeddings_flat_checksums stays) — keep its canonicalizer-compat
-    # projection pinned here by calling the query fn directly
-    fn = (
-        entry_mod._q_chunks_with_embeddings
-        if name == "chunks_with_embeddings"
-        else entry_mod.queries()[name]
-    )
+    # chunks_with_embeddings left queries() in round 4 and
+    # media_features_flat in round 6 (rotation policy) — their
+    # canonicalizer-compat projections stay pinned here by calling the
+    # query fns directly
+    if name == "chunks_with_embeddings":
+        fn = entry_mod._q_chunks_with_embeddings
+    elif name == "media_features_flat":
+        fn = entry_mod._q_media_features_flat
+    else:
+        fn = entry_mod.queries()[name]
     df = fn(spark, sf_dir)
     pdf = df.limit(200).toPandas()
     assert len(pdf) > 0
