@@ -848,3 +848,81 @@ SELECT doc_id,
        md5(cleaned) AS cleaned_fp
 FROM clean
 """
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style unigram surprisal scoring (round 6)
+# ---------------------------------------------------------------------------
+
+
+def unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean unigram surprisal — the CCNet-style language-
+    model quality signal (Wenzek et al. 2020 rank documents by LM
+    perplexity; a corpus-trained unigram model is its deterministic,
+    engine-mirrorable core): rare-word-heavy junk scores high, common
+    prose scores low.
+
+    Surprisal is measured in WHOLE BITS so both engines agree exactly:
+    ``bits(term) = floor(log2((N + V) div (c + 1)))`` with add-one
+    smoothing (c = corpus occurrences of the term, N = total
+    occurrences, V = vocabulary size), and floor-log2 of an integer is
+    computed EXACTLY as ``length(bin(q)) - 1`` — no transcendental
+    function whose last ulp could differ between the JVM and DuckDB
+    (the same reason tfidf_top_terms ranks by tf/df instead of
+    tf·ln(N/df)).
+
+    Plan shape: per-(doc, term) counts with map-side combine, the
+    corpus unigram table derived from them (second small aggregate),
+    a term-keyed shuffle join, and a 1-row totals broadcast — the same
+    corpus-statistics join family as tfidf/ngram_doc_frequency; at
+    lake scale every aggregate partial-combines before its exchange
+    and the join key space is the vocabulary.
+    """
+    words = _docs(spark, sf_dir).selectExpr(
+        "doc_id", "explode(split(trim(lower(text)), '\\\\s+')) as term"
+    )
+    tf = words.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    counts = tf.groupBy("term").agg(F.sum("tf").alias("c"))
+    totals = counts.agg(
+        F.sum("c").alias("n_total"), F.count("*").alias("v_size")
+    )
+    scored = (
+        tf.join(counts, "term")
+        .join(F.broadcast(totals))
+        .selectExpr(
+            "doc_id",
+            "tf",
+            "cast(length(bin((n_total + v_size) div (c + 1))) - 1"
+            " as bigint) as bits",
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.expr("cast(sum(tf) as bigint)").alias("n_words"),
+        F.expr("cast(sum(tf * bits) as bigint)").alias("total_bits"),
+        F.expr(
+            "cast((1000 * sum(tf * bits)) div sum(tf) as bigint)"
+        ).alias("mean_bits_milli"),
+    )
+
+
+UNIGRAM_SURPRISAL_SQL = """
+WITH words AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text), ' '), '[ \\t\\n\\x0b\\f\\r]+')) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM words GROUP BY doc_id, term),
+counts AS (SELECT term, sum(tf) AS c FROM tf GROUP BY term),
+totals AS (SELECT sum(c) AS n_total, count(*) AS v_size FROM counts),
+scored AS (
+  SELECT tf.doc_id, tf.tf,
+         CAST(length(printf('%b', CAST((totals.n_total + totals.v_size)
+                                  // (counts.c + 1) AS BIGINT))) - 1
+              AS BIGINT) AS bits
+  FROM tf JOIN counts USING (term) CROSS JOIN totals
+)
+SELECT doc_id,
+       CAST(sum(tf) AS BIGINT) AS n_words,
+       CAST(sum(tf * bits) AS BIGINT) AS total_bits,
+       CAST((1000 * sum(tf * bits)) // sum(tf) AS BIGINT) AS mean_bits_milli
+FROM scored GROUP BY doc_id
+"""

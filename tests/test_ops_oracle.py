@@ -375,3 +375,27 @@ def test_rotated_out_parity_pinned(spark, sf_dir, name, fn_path, sql_path):
     drows = [tuple(_norm(v) for v in row) for row in res.fetchall()]
     assert sdf.columns == dcols, name
     assert sorted(srows) == sorted(drows) and len(srows) > 0, name
+
+
+def test_unigram_surprisal_parity_pinned(spark, sf_dir):
+    """New round-6 op (CCNet-style unigram LM quality signal), pytest-
+    pinned — the 50-entry driver window is full; rotation candidate for
+    round 7. Surprisal is whole-bit integer arithmetic (floor-log2 via
+    binary-string length), so both engines must agree EXACTLY."""
+    from deepdoc_api_spark.ops.text_analysis import (
+        UNIGRAM_SURPRISAL_SQL,
+        unigram_surprisal,
+    )
+
+    sdf = unigram_surprisal(spark, sf_dir)
+    srows = [tuple(_norm(v) for v in row) for row in sdf.collect()]
+    res = _duck(sf_dir).execute(UNIGRAM_SURPRISAL_SQL)
+    dcols = [d[0] for d in res.description]
+    drows = [tuple(_norm(v) for v in row) for row in res.fetchall()]
+    assert sdf.columns == dcols
+    assert sorted(srows) == sorted(drows) and len(srows) > 0
+    # sanity on the signal itself: bits are positive and the mean is
+    # bounded by the vocabulary's information content
+    for _, n_words, total_bits, mean_milli in srows:
+        assert n_words > 0 and total_bits >= 0
+        assert 0 <= mean_milli <= 64_000
