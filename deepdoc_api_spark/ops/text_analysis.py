@@ -926,3 +926,111 @@ SELECT doc_id,
        CAST((1000 * sum(tf * bits)) // sum(tf) AS BIGINT) AS mean_bits_milli
 FROM scored GROUP BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# source-mixture rebalancing APPLY step (round 6)
+# ---------------------------------------------------------------------------
+
+
+def _source_mix_sample_from(docs_labeled: DataFrame) -> DataFrame:
+    """Core of :func:`source_mix_sample` over a (doc_id, source)
+    relation — split out so the planted-imbalance verify variant can
+    relabel sources without duplicating the sampling contract."""
+    docs = docs_labeled.selectExpr(
+        "doc_id",
+        "source",
+        "cast(conv(substr(md5(concat('mix:', cast(doc_id as string))),"
+        " 1, 8), 16, 10) % 1000 as bigint) as hash_milli",
+    )
+    counts = docs_labeled.groupBy("source").agg(
+        F.count("*").alias("n_docs")
+    )
+    mn = counts.agg(F.min("n_docs").alias("min_docs"))
+    rates = counts.join(F.broadcast(mn)).selectExpr(
+        "source",
+        "cast(n_docs as bigint) as n_docs",
+        "cast((1000 * min_docs) div n_docs as bigint) as rate_milli",
+    )
+    return docs.join(F.broadcast(rates), "source").selectExpr(
+        "doc_id",
+        "source",
+        "n_docs",
+        "rate_milli",
+        "hash_milli",
+        "cast(hash_milli < rate_milli as boolean) as keep",
+    )
+
+
+def source_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic balanced-mix downsampling — the APPLY step behind
+    :func:`source_mix`'s diagnostic: every source is hash-sampled down
+    to (approximately) the size of the SMALLEST source, the standard
+    corpus-mixture rebalance a training pipeline runs when one crawl
+    slice dominates (cf. The Pile / DoReMi mixture reweighting; C4's
+    per-source sampling).
+
+    Contract (exactly mirrorable, no RNG): ``rate_milli(source) =
+    (1000·min_count) div count(source)`` from the per-source counts,
+    and a doc survives iff ``hash_milli(doc_id) < rate_milli`` where
+    ``hash_milli`` is the first md5 word of ``'mix:'||doc_id`` mod
+    1000 — i.e. an order-free, reproducible ~per-mill coin keyed on
+    the document identity alone (re-runs and different partitionings
+    keep the identical sample). The smallest source's rate is exactly
+    1000, so it survives whole.
+
+    Plan shape: one groupBy(source) count, a 1-row min broadcast back
+    onto the per-source rates, a broadcast rate join onto the corpus,
+    and a per-row hash — no shuffle of the documents themselves at any
+    point; scale-safe at any corpus size (the source key space is
+    small by construction).
+    """
+    return _source_mix_sample_from(_docs(spark, sf_dir).select("doc_id", "source"))
+
+
+#: planted-imbalance relabel: 12:3:1 head/mid/tail per 16 doc_ids —
+#: the driver corpus is perfectly balanced (every source 25 docs), so
+#: the raw op keeps everything vacuously; the planted variant forces
+#: real rate computation (83/250/1000 milli) and real drops, exactly
+#: like the planted-twin variants of containment/semantic dedup.
+_MIX_RELABEL = (
+    "case when doc_id % 16 < 12 then 'head'"
+    " when doc_id % 16 < 15 then 'mid' else 'tail' end"
+)
+
+
+def source_mix_sample_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    relabeled = _docs(spark, sf_dir).selectExpr(
+        "doc_id", f"{_MIX_RELABEL} as source"
+    )
+    return _source_mix_sample_from(relabeled)
+
+
+def _source_mix_sample_sql(source_expr: str) -> str:
+    return f"""
+WITH labeled AS (SELECT doc_id, {source_expr} AS source FROM documents),
+counts AS (SELECT source, count(*) AS n_docs FROM labeled GROUP BY source),
+mn AS (SELECT min(n_docs) AS min_docs FROM counts),
+rates AS (
+  SELECT source, n_docs::BIGINT AS n_docs,
+         CAST((1000 * mn.min_docs) // n_docs AS BIGINT) AS rate_milli
+  FROM counts CROSS JOIN mn
+),
+hashed AS (
+  SELECT doc_id, source,
+         CAST(('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+              % 1000 AS BIGINT) AS hash_milli
+  FROM labeled
+)
+SELECT h.doc_id, h.source, r.n_docs, r.rate_milli, h.hash_milli,
+       (h.hash_milli < r.rate_milli) AS keep
+FROM hashed h JOIN rates r USING (source)
+"""
+
+
+SOURCE_MIX_SAMPLE_SQL = _source_mix_sample_sql("source")
+
+SOURCE_MIX_SAMPLE_PLANTED_SQL = _source_mix_sample_sql(
+    "CASE WHEN doc_id % 16 < 12 THEN 'head'"
+    " WHEN doc_id % 16 < 15 THEN 'mid' ELSE 'tail' END"
+)

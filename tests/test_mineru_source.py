@@ -158,7 +158,9 @@ def test_reader_plus_kernels_match_reference_process_layout(spark, tmp_path):
     ref = _load_reference()
     docs = []
     layouts = {}
-    for seed in range(12):
+    # 12 → 36 seeds in round 6: same cost class (one Spark read), 3×
+    # the randomized layout coverage for the reader+fold composition
+    for seed in range(36):
         rng = random.Random(f"srcdiff:{seed}")
         layout = _gen_layout(rng, n_pages=rng.randint(1, 3))
         doc_id = f"d{seed}"

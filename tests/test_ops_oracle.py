@@ -399,3 +399,45 @@ def test_unigram_surprisal_parity_pinned(spark, sf_dir):
     for _, n_words, total_bits, mean_milli in srows:
         assert n_words > 0 and total_bits >= 0
         assert 0 <= mean_milli <= 64_000
+
+
+def test_source_mix_sample_parity_pinned(spark, sf_dir):
+    """New round-6 op (deterministic balanced-mix downsampling — the
+    apply step behind source_mix's diagnostic), pytest-pinned; r7
+    rotation candidate. The driver corpus is perfectly balanced, so
+    the raw op's keep-all is vacuous; the planted-imbalance variant
+    (12:3:1 relabel) must compute real rates and real drops, and both
+    variants must match their mirrors value-exactly."""
+    from deepdoc_api_spark.ops.text_analysis import (
+        SOURCE_MIX_SAMPLE_PLANTED_SQL,
+        SOURCE_MIX_SAMPLE_SQL,
+        source_mix_sample,
+        source_mix_sample_planted,
+    )
+
+    for fn, sql in (
+        (source_mix_sample, SOURCE_MIX_SAMPLE_SQL),
+        (source_mix_sample_planted, SOURCE_MIX_SAMPLE_PLANTED_SQL),
+    ):
+        sdf = fn(spark, sf_dir)
+        srows = [tuple(_norm(v) for v in row) for row in sdf.collect()]
+        res = _duck(sf_dir).execute(sql)
+        dcols = [d[0] for d in res.description]
+        drows = [tuple(_norm(v) for v in row) for row in res.fetchall()]
+        assert sdf.columns == dcols
+        assert sorted(srows) == sorted(drows) and len(srows) > 0
+
+    rows = source_mix_sample_planted(spark, sf_dir).collect()
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r.source, []).append(r)
+    # the smallest source survives whole (rate exactly 1000)
+    assert all(r.keep for r in by_src["tail"])
+    assert all(r.rate_milli == 1000 for r in by_src["tail"])
+    # dominant sources are really downsampled toward the tail size,
+    # within the per-mill hash-noise envelope
+    n_tail = len(by_src["tail"])
+    for src in ("head", "mid"):
+        kept = sum(1 for r in by_src[src] if r.keep)
+        assert kept < len(by_src[src])
+        assert abs(kept - n_tail) <= max(10, n_tail), (src, kept, n_tail)
