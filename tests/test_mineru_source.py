@@ -264,3 +264,43 @@ def test_overflow_page_keeps_reading_order(spark, tmp_path):
     assert offsets[PAGE_SIZE - 1 : n0] == [PAGE_SIZE - 1] * 6
     assert offsets[n0:] == [PAGE_SIZE, PAGE_SIZE + 1, PAGE_SIZE + 2]
     assert offsets[: PAGE_SIZE - 1] == list(range(PAGE_SIZE - 1))
+
+
+def test_reader_degenerate_shapes(spark, tmp_path):
+    """Degenerate middle-JSON shapes must read gracefully, not crash:
+    empty pdf_info, page with no block lists, blocks with no lines /
+    no spans / missing content, and a doc that reduces to zero spans
+    (which simply yields no row — the groupBy has nothing to fold)."""
+    from deepdoc_api_spark.sources.mineru_json import spans_from_mineru_json
+
+    docs = [
+        {"doc_id": "empty-doc", "pdf_info": []},
+        {"doc_id": "empty-page", "pdf_info": [{"page_idx": 0}]},
+        {"doc_id": "no-lines", "pdf_info": [
+            {"page_idx": 0, "para_blocks": [
+                {"type": "text", "bbox": [0, 0, 1, 1]}]}]},
+        {"doc_id": "no-spans", "pdf_info": [
+            {"page_idx": 0, "para_blocks": [
+                {"type": "text", "bbox": [0, 0, 1, 1], "lines": [{}]}]}]},
+        {"doc_id": "no-content", "pdf_info": [
+            {"page_idx": 0, "para_blocks": [
+                {"type": "title", "bbox": [0, 0, 1, 1],
+                 "lines": [{"spans": [{}]}]}]}]},
+        {"doc_id": "real", "pdf_info": [
+            {"page_idx": 0, "para_blocks": [
+                {"type": "text", "bbox": [0, 0, 1, 1],
+                 "lines": [{"spans": [{"content": "hello"}]}]}]}]},
+    ]
+    path = _write_jsonl(tmp_path, docs)
+    rows = {r.doc_id: [s.asDict() for s in r.spans]
+            for r in spans_from_mineru_json(spark, path).collect()}
+    # zero-span docs produce no row at all (nothing to fold)
+    for gone in ("empty-doc", "empty-page", "no-lines", "no-spans"):
+        assert gone not in rows, gone
+    # a span with a missing content field coalesces to ''
+    assert rows["no-content"] == [
+        {"kind": "title", "text": "", "media_ref": "", "offset": 0}
+    ]
+    assert rows["real"] == [
+        {"kind": "text", "text": "hello", "media_ref": "", "offset": 0}
+    ]
