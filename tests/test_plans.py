@@ -766,3 +766,28 @@ def test_semantic_dedup_depth2_subclustering(spark, sf_dir):
         f"{sum(r.cluster_overflow for r in rows)} rows still overflow "
         "after the depth-2 split"
     )
+
+
+def test_round6_new_ops_plan_shapes(spark, sf_dir):
+    """Plan pins for the round-6 ops: pure-JVM expressions (no Python
+    eval nodes), no CartesianProduct (the 1-row totals joins must be
+    broadcast nested-loop, not cartesian), and the surprisal join keyed
+    on the vocabulary."""
+    from deepdoc_api_spark.ops.text_analysis import (
+        source_mix_sample_planted,
+        unigram_surprisal,
+    )
+    from deepdoc_api_spark.sources.mineru_json import (
+        mineru_source_checksums,
+    )
+
+    for df in (
+        unigram_surprisal(spark, sf_dir),
+        source_mix_sample_planted(spark, sf_dir),
+        mineru_source_checksums(spark, sf_dir),
+    ):
+        plan = plan_of(df)
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan
+        assert "MapInPandas" not in plan
+        assert "CartesianProduct" not in plan
