@@ -184,7 +184,7 @@ def _layout_to_records(layout: dict):
     return records
 
 
-@pytest.mark.parametrize("seed", range(40))
+@pytest.mark.parametrize("seed", range(120))
 def test_fold_matches_reference_process_layout(seed):
     ref = _load_reference()
     rng = random.Random(f"diff:{seed}")

@@ -72,7 +72,7 @@ def test_randomized_partial_and_mixed_objects_match_reference():
     ref = _load_reference_normalizer()
     rng = random.Random(42)
     values = [0, 1, 10.5, -3, None, 100]
-    for trial in range(3000):
+    for trial in range(10000):
         keys = []
         for pool in KEY_POOLS:
             keys.extend(k for k in pool if rng.random() < 0.4)

@@ -58,7 +58,7 @@ def _load_reference_k5():
     return lambda content: ns["_chunk_content"](None, content, "file.txt", {"pages": [1]})
 
 
-@pytest.mark.parametrize("seed", range(40))
+@pytest.mark.parametrize("seed", range(120))
 def test_fallback_matches_reference(seed):
     ref_chunk = _load_reference_k5()
     rng = random.Random(f"k5:{seed}")

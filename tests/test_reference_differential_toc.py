@@ -173,7 +173,7 @@ def _to_records(items):
     ]
 
 
-@pytest.mark.parametrize("seed", range(60))
+@pytest.mark.parametrize("seed", range(150))
 def test_toc_sections_and_chunks_match_reference(seed):
     chunker = _load_reference_tocchunker()
     # the stubbed Field collapses the pydantic default; restore pattern
