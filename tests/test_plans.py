@@ -791,3 +791,36 @@ def test_round6_new_ops_plan_shapes(spark, sf_dir):
         assert "ArrowEvalPython" not in plan
         assert "MapInPandas" not in plan
         assert "CartesianProduct" not in plan
+
+
+def test_label_components_long_chain_and_mixed_graph(spark):
+    """Round-6 stress: min-label propagation advances ONE hop per
+    round, so a chain of length D needs ~D rounds — the planted-pair
+    corpora only ever exercise 2-3. A 24-link chain, a star, two
+    bridged cliques and an isolated pair must all resolve to their
+    exact components (min-id label), proving the loop truly iterates
+    to the fixpoint rather than stopping at the practical 2-3."""
+    from deepdoc_api_spark.ops.dedup import _label_components
+
+    edges = []
+    # chain 100..124 (reversed edge order so labels flow the slow way)
+    edges += [(100 + i + 1, 100 + i) for i in range(24)]
+    # star centered at 300 (center has the HIGHEST id)
+    edges += [(290 + j, 300) for j in range(5)]
+    # two 4-cliques bridged by one edge
+    cliq1 = [400, 401, 402, 403]
+    cliq2 = [500, 501, 502, 503]
+    for c in (cliq1, cliq2):
+        edges += [(a, b) for a in c for b in c if a < b]
+    edges.append((403, 500))
+    edges.append((700, 701))  # isolated pair
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+
+    labels = {
+        r.doc_id: r.component for r in _label_components(pairs).collect()
+    }
+    assert all(labels[100 + i] == 100 for i in range(25)), labels
+    assert all(labels[290 + j] == 290 for j in range(5))
+    assert labels[300] == 290
+    assert all(labels[v] == 400 for v in cliq1 + cliq2)
+    assert labels[700] == labels[701] == 700
