@@ -1,6 +1,6 @@
 PY ?= python
 
-.PHONY: test package bench scaling smoke
+.PHONY: test package bench scaling smoke verify
 
 test:
 	$(PY) -m pytest tests/ -x -q
@@ -22,3 +22,8 @@ smoke: package
 	spark-submit --master "local[8]" --py-files dist/deepdoc_api_spark.zip \
 		run_job.py --generate-from /root/testdata/sf0.001 \
 		--output /tmp/ddspark_smoke --run-id smoke --buckets 16
+
+# driver-gate replica at the driver's correctness scale (sf0.01): every
+# queries() entry vs its DuckDB oracle, exactly like CORRECTNESS_r{N}
+verify:
+	SPARK_GRAFT_TEST_SF_DIR=/root/testdata/sf0.01 $(PY) -m pytest tests/test_ops_oracle.py -q
