@@ -80,6 +80,27 @@ def _calibrate_host_parallel(n_threads: int = 32) -> float:
     return time.monotonic() - t0
 
 
+def _cpu_stat() -> list:
+    """First /proc/stat line (user..steal jiffies) — steal is the
+    co-tenant signature: the round-6 spread investigation measured
+    same-code flagship passes at 4.5-6.2 s with NORMAL md5-calib
+    values, because neighbor steal hits only while all cores demand
+    CPU; probes taken before/after miss it. Sampling around each pass
+    makes a slow sample self-explaining."""
+    try:
+        return [int(x) for x in open("/proc/stat").readline().split()[1:9]]
+    except Exception:  # pragma: no cover - non-linux
+        return []
+
+
+def _steal_pct(before: list, after: list) -> float:
+    if not before or not after:
+        return -1.0
+    d = [y - x for x, y in zip(before, after)]
+    tot = sum(d)
+    return round(100.0 * d[7] / tot, 2) if tot else -1.0
+
+
 def _noop_write(df) -> None:
     """Materialize a JVM-expression plan via the noop sink — a bare
     count() would let Catalyst prune away the very expressions under
@@ -149,11 +170,14 @@ def run_bench(sf_dir: str, cpus: int, replicate: int) -> dict:
         # host reference for drift normalization.
         flagship_passes: list[float] = []
         flagship_calib: list[float] = []
+        flagship_steal: list[float] = []
         n_chunks = 0
         for _ in range(3):
+            st0 = _cpu_stat()
             t0 = time.monotonic()
             n_chunks = chunk_documents(spans, "hybrid").count()
             flagship_passes.append(time.monotonic() - t0)
+            flagship_steal.append(_steal_pct(st0, _cpu_stat()))
             flagship_calib.append(round(_calibrate_host(), 3))
         flagship_sec = sorted(flagship_passes)[1]
         timings["pipeline_hybrid"] = round(flagship_sec, 3)
@@ -258,6 +282,12 @@ def run_bench(sf_dir: str, cpus: int, replicate: int) -> dict:
             # the audit trail for any single-pass outlier
             "flagship_passes": [round(s, 3) for s in flagship_passes],
             "flagship_calib": flagship_calib,
+            # %CPU stolen by co-tenants DURING each pass (/proc/stat
+            # delta around the measurement): the round-6 spread
+            # investigation traced the 4.5-6.2 s same-code flagship
+            # variance to bursty neighbor steal that point-in-time
+            # calib probes cannot see
+            "flagship_steal_pct": flagship_steal,
         }
     finally:
         shutil.rmtree(corpus_dir, ignore_errors=True)
