@@ -121,3 +121,45 @@ def test_chunk_index_dense_and_ordered(spark, sf_dir):
     got = _spark_result(spark, sf_dir, "hybrid", n_docs=30)
     for doc_id, chunks in got.items():
         assert [c[3] for c in chunks] == list(range(len(chunks)))
+
+
+@pytest.mark.parametrize("budget", [48, 128, 2048])
+def test_nondefault_token_budget_equality(spark, sf_dir, budget):
+    """Round-6 parameter sweep: the Spark path must agree with the
+    in-driver kernel for NON-default token budgets too — every prior
+    equality suite ran at the default 512, leaving the budget plumbing
+    through the fused kernel / skew paths value-unverified. 48 forces
+    heavy splitting (at and below the 32-token piece floor), 2048
+    collapses most documents into single merged chunks."""
+    for chunker_type in ("hybrid", "hierarchical"):
+        rows = duckdb.sql(
+            f"select doc_id, text from read_parquet('{sf_dir}/documents.parquet') "
+            "order by doc_id limit 40"
+        ).fetchall()
+        oracle = {}
+        for d, t in rows:
+            chunks = chunk_document(
+                doc_id_str(d), gen_doc_spans(d, t or ""), chunker_type,
+                token_budget=budget,
+            )
+            oracle[doc_id_str(d)] = [
+                (c["kind"], c["text"], c["media_ref"], c["chunk_index"])
+                for c in chunks
+            ]
+        spans = spans_from_documents(spark, sf_dir, num_partitions=8, limit=40)
+        got = {}
+        for row in (
+            chunk_documents(spans, chunker_type, token_budget=budget)
+            .select("doc_id", "kind", "text", "media_ref", "chunk_index")
+            .collect()
+        ):
+            got.setdefault(row.doc_id, []).append(
+                (row.kind, row.text, row.media_ref, row.chunk_index)
+            )
+        for doc in got.values():
+            doc.sort(key=lambda t: t[3])
+        assert set(got) == set(oracle)
+        for doc_id in oracle:
+            assert got[doc_id] == oracle[doc_id], (
+                f"{chunker_type}:budget={budget}:{doc_id}"
+            )
