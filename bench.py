@@ -203,10 +203,17 @@ def run_bench(sf_dir: str, cpus: int, replicate: int) -> dict:
         # host reference instead of being unattributable.
         spark.stop()
         os.environ["SPARK_GRAFT_CPUS"] = str(cpus)
+        # Ops shuffles at the bench sf carry a few MB per query — 2×cpus
+        # partitions (the flagship setting) just multiplies stage
+        # scheduling constants. cpus/2 is the right size for this data
+        # (measured: containment 10.5→8.8 s, embedding_near_dup
+        # 5.2→4.4 cold-isolated at 16 vs 64); values are
+        # partition-invariant (the equality suites run at 8/16), and a
+        # lake-scale run sizes shuffle partitions to the data anyway.
         spark = get_spark(
             app_name=f"ddspark-bench-ops-{cpus}",
             master=f"local[{cpus}]",
-            shuffle_partitions=max(2 * cpus, 16),
+            shuffle_partitions=max(cpus // 2, 16),
             kernel_split_bytes=KERNEL_SPLIT_BYTES,
         )
         spark.range(cpus * 2).repartition(cpus * 2).mapInPandas(
