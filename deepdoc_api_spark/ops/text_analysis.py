@@ -1034,3 +1034,136 @@ SOURCE_MIX_SAMPLE_PLANTED_SQL = _source_mix_sample_sql(
     "CASE WHEN doc_id % 16 < 12 THEN 'head'"
     " WHEN doc_id % 16 < 15 THEN 'mid' ELSE 'tail' END"
 )
+
+
+# ---------------------------------------------------------------------------
+# exact line-level corpus dedup APPLY step (round 6)
+# ---------------------------------------------------------------------------
+
+
+def _line_dedup_from(docs: DataFrame) -> DataFrame:
+    """RefinedWeb-style exact line deduplication across the corpus
+    (Penedo et al. 2023 drop duplicated lines/spans left behind by
+    boilerplate stripping): every non-empty line that appears anywhere
+    else in the corpus keeps only its FIRST occurrence in the global
+    deterministic order ``(doc_id, line_idx)``; documents are
+    reconstructed from their surviving lines. The line-keyed complement
+    of :func:`window_dedup` (fixed word windows, C4/Lee-style):
+    boilerplate is usually line-shaped, repeated prose is window-shaped.
+
+    Truly empty lines are exempt (they carry layout, not content, and
+    deduping them would collapse every blank separator corpus-wide).
+    Output is per-document scalars: line counts, drop count, and the
+    md5 fingerprint + length of the cleaned text — value-exact in both
+    engines.
+
+    Scale shape: literal-'\\n' split + posexplode to (doc_id, idx,
+    line); one shuffle on the line hash for the min-(doc_id, idx)
+    keeper aggregate; one join back; one groupBy(doc_id) rebuild. The
+    same two-shuffle family as window_dedup/ngram_doc_frequency —
+    nothing quadratic, keys are line hashes with natural skew handled
+    by the exempt-empty rule (the only truly degenerate key) and AQE.
+    """
+    lines = (
+        docs.repartition(
+            docs.sparkSession.sparkContext.defaultParallelism * 2, "doc_id"
+        )
+        .selectExpr(
+            "doc_id",
+            "posexplode(split(text, '\\n')) as (idx, line)",
+        )
+    )
+    keepers = (
+        lines.filter("length(line) > 0")
+        .groupBy("line")
+        .agg(
+            F.expr("min(struct(doc_id, idx))").alias("k"),
+            F.count("*").alias("occ"),
+        )
+    )
+    marked = lines.join(keepers, "line", "left").selectExpr(
+        "doc_id",
+        "idx",
+        "line",
+        "(k is null or (k.doc_id = doc_id and k.idx = idx)) as kept",
+    )
+    return marked.groupBy("doc_id").agg(
+        F.expr("cast(count(*) as bigint)").alias("n_lines"),
+        F.expr("cast(sum(cast(not kept as int)) as bigint)").alias(
+            "n_dup_lines_dropped"
+        ),
+        F.expr(
+            "length(array_join(transform(array_sort(collect_list("
+            "case when kept then struct(idx, line) end)),"
+            " s -> s.line), char(10)))"
+        ).cast("bigint").alias("clean_n_chars"),
+        F.expr(
+            "md5(array_join(transform(array_sort(collect_list("
+            "case when kept then struct(idx, line) end)),"
+            " s -> s.line), char(10)))"
+        ).alias("clean_fp"),
+    )
+
+
+def line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _line_dedup_from(_docs(spark, sf_dir).select("doc_id", "text"))
+
+
+#: planted boilerplate: every doc gains a shared header and footer
+#: line, and every 5th doc an extra shared quote line — the driver
+#: corpus is newline-free with unique texts, so the raw op's zero-drop
+#: result is vacuous; the planted lines create real cross-doc
+#: repeats at both edges and mid-document (keep-first must pick the
+#: GLOBALLY first (doc_id, idx), i.e. doc 0's header/footer survive
+#: and all 499 other copies drop).
+_LINE_PLANT = (
+    "concat('shared boilerplate header', char(10), text,"
+    " case when doc_id % 5 = 0"
+    " then concat(char(10), 'shared mid-document quote') else '' end,"
+    " char(10), 'shared boilerplate footer')"
+)
+
+
+def line_dedup_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _line_dedup_from(
+        _docs(spark, sf_dir).selectExpr("doc_id", f"{_LINE_PLANT} as text")
+    )
+
+
+def _line_dedup_sql(text_expr: str) -> str:
+    return f"""
+WITH src AS (SELECT doc_id, {text_expr} AS text FROM documents),
+lines AS (
+  SELECT doc_id,
+         unnest(string_split(text, chr(10))) AS line,
+         generate_subscripts(string_split(text, chr(10)), 1) - 1 AS idx
+  FROM src
+),
+keepers AS (
+  SELECT line, min({{'d': doc_id, 'i': idx}}) AS k, count(*) AS occ
+  FROM lines WHERE length(line) > 0 GROUP BY line
+),
+marked AS (
+  SELECT l.doc_id, l.idx, l.line,
+         (k.k IS NULL OR ((k.k).d = l.doc_id AND (k.k).i = l.idx)) AS kept
+  FROM lines l LEFT JOIN keepers k USING (line)
+)
+SELECT doc_id,
+       count(*)::BIGINT AS n_lines,
+       sum(CASE WHEN kept THEN 0 ELSE 1 END)::BIGINT AS n_dup_lines_dropped,
+       length(coalesce(string_agg(CASE WHEN kept THEN line END, chr(10)
+                         ORDER BY idx), ''))::BIGINT AS clean_n_chars,
+       md5(coalesce(string_agg(CASE WHEN kept THEN line END, chr(10)
+                      ORDER BY idx), '')) AS clean_fp
+FROM marked GROUP BY doc_id
+"""
+
+
+LINE_DEDUP_SQL = _line_dedup_sql("text")
+
+LINE_DEDUP_PLANTED_SQL = _line_dedup_sql(
+    "concat('shared boilerplate header', chr(10), text,"
+    " CASE WHEN doc_id % 5 = 0"
+    " THEN concat(chr(10), 'shared mid-document quote') ELSE '' END,"
+    " chr(10), 'shared boilerplate footer')"
+)

@@ -441,3 +441,42 @@ def test_source_mix_sample_parity_pinned(spark, sf_dir):
         kept = sum(1 for r in by_src[src] if r.keep)
         assert kept < len(by_src[src])
         assert abs(kept - n_tail) <= max(10, n_tail), (src, kept, n_tail)
+
+
+def test_line_dedup_parity_pinned(spark, sf_dir):
+    """New round-6 op (RefinedWeb-style exact line dedup apply step),
+    pytest-pinned; r7 rotation candidate. The raw corpus is
+    newline-free (zero drops — vacuously green), so the planted
+    boilerplate variant carries the verify: shared header/footer on
+    every doc + a mid-quote on every 5th, keep-first by global
+    (doc_id, idx)."""
+    from deepdoc_api_spark.ops.text_analysis import (
+        LINE_DEDUP_PLANTED_SQL,
+        LINE_DEDUP_SQL,
+        line_dedup,
+        line_dedup_planted,
+    )
+
+    for fn, sql in (
+        (line_dedup, LINE_DEDUP_SQL),
+        (line_dedup_planted, LINE_DEDUP_PLANTED_SQL),
+    ):
+        sdf = fn(spark, sf_dir)
+        srows = [tuple(_norm(v) for v in row) for row in sdf.collect()]
+        res = _duck(sf_dir).execute(sql)
+        dcols = [d[0] for d in res.description]
+        drows = [tuple(_norm(v) for v in row) for row in res.fetchall()]
+        assert sdf.columns == dcols
+        assert sorted(srows) == sorted(drows) and len(srows) > 0
+
+    rows = {r.doc_id: r for r in line_dedup_planted(spark, sf_dir).collect()}
+    n = len(rows)
+    # doc 0 is globally first: keeps its header, mid-quote and footer
+    assert rows[0].n_dup_lines_dropped == 0
+    # every other doc drops header+footer, plus the quote on doc%5==0
+    for d, r in rows.items():
+        if d == 0:
+            continue
+        assert r.n_dup_lines_dropped == (3 if d % 5 == 0 else 2), d
+    total = sum(r.n_dup_lines_dropped for r in rows.values())
+    assert total == 2 * (n - 1) + (n // 5 - 1)
