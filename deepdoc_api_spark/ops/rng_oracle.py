@@ -46,8 +46,19 @@ NULL_S = chr(0)
 
 _BBOX_KEYS = ("left", "top", "right", "bottom", "width", "height", "area")
 
-#: columns of the checksum relation (both engines)
+#: columns of the combined (all-chunker) checksum relation (both engines)
 CHECKSUM_COLUMNS = ["chunker_type", "doc_id", "n_chunks", "size_sum", "hash_sum"]
+
+#: columns of the per-chunker checksum relation (round 7, VERDICT #3:
+#: the four ``extract_chunks_*`` driver rows fold to this shape so the
+#: golden parquet can oracle them — two EXTRA folds beyond the combined
+#: row make each per-chunker row carry checking power of its own:
+#: ``n_media`` counts media-bearing chunks (a pure subset-sum the
+#: combined hash_sum could mask under a compensating text change) and
+#: ``hash_min`` is an order-free second fold of the same per-chunk
+#: hashes under a non-additive operator (a pair of swapped-value rows
+#: that happened to preserve the SUM would still move the MIN family)
+CHECKSUM_FULL_COLUMNS = CHECKSUM_COLUMNS + ["n_media", "hash_min"]
 
 
 # ---------------------------------------------------------------------------
@@ -132,38 +143,62 @@ _HASH32_EXPR = "cast(conv(substr(md5(canon), 1, 8), 16, 10) as bigint)"
 # ---------------------------------------------------------------------------
 
 
+def _checksums_df(spans, ct: str) -> DataFrame:
+    """Per-doc checksum fold for one chunker over a span relation: the
+    full-column fold (CHECKSUM_FULL_COLUMNS)."""
+    from deepdoc_api_spark.job.pipeline import chunk_documents
+
+    return (
+        chunk_documents(spans, ct)
+        .selectExpr(
+            f"'{ct}' as chunker_type",
+            "doc_id",
+            "chunk_size",
+            "cast(media_ref is not null as int) as is_media",
+            f"{_canon_expr()} as canon",
+        )
+        .selectExpr(
+            "chunker_type", "doc_id", "chunk_size", "is_media",
+            f"{_HASH32_EXPR} as h",
+        )
+        .groupBy("chunker_type", "doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_chunks"),
+            F.sum("chunk_size").cast("long").alias("size_sum"),
+            F.sum("h").cast("long").alias("hash_sum"),
+            F.sum("is_media").cast("long").alias("n_media"),
+            F.min("h").cast("long").alias("hash_min"),
+        )
+    )
+
+
 def rng_chunk_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-(chunker_type, doc_id) chunk checksums through the REAL
     production path (spans_parquet_cached → chunk_documents) for every
     chunker type — the driver-green surface of the RNG flagship."""
-    from deepdoc_api_spark.job.pipeline import chunk_documents, spans_parquet_cached
+    from deepdoc_api_spark.job.pipeline import spans_parquet_cached
     from deepdoc_api_spark.kernels.pipeline import CHUNKER_TYPES
 
     spans = spans_parquet_cached(spark, sf_dir)
-    parts: List[DataFrame] = []
-    for ct in CHUNKER_TYPES:
-        chunks = chunk_documents(spans, ct)
-        parts.append(
-            chunks.selectExpr(
-                f"'{ct}' as chunker_type",
-                "doc_id",
-                "chunk_size",
-                f"{_canon_expr()} as canon",
-            )
-            .selectExpr(
-                "chunker_type", "doc_id", "chunk_size", f"{_HASH32_EXPR} as h"
-            )
-            .groupBy("chunker_type", "doc_id")
-            .agg(
-                F.count("*").cast("long").alias("n_chunks"),
-                F.sum("chunk_size").cast("long").alias("size_sum"),
-                F.sum("h").cast("long").alias("hash_sum"),
-            )
-        )
+    parts: List[DataFrame] = [_checksums_df(spans, ct) for ct in CHUNKER_TYPES]
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
     return out.select(*CHECKSUM_COLUMNS)
+
+
+def rng_chunk_checksums_one(
+    spark: SparkSession, sf_dir: str, chunker_type: str
+) -> DataFrame:
+    """The driver-facing fold of ONE ``extract_chunks_*`` pipeline
+    (round-7 VERDICT #3): same production path as the raw query, folded
+    to per-doc scalars the golden parquet can oracle — the raw full-row
+    variant stays executed and span-sequence-checked in pytest
+    (tests/test_ops_oracle.py::test_raw_extract_chunks_run)."""
+    from deepdoc_api_spark.job.pipeline import spans_parquet_cached
+
+    spans = spans_parquet_cached(spark, sf_dir)
+    return _checksums_df(spans, chunker_type).select(*CHECKSUM_FULL_COLUMNS)
 
 
 # ---------------------------------------------------------------------------
@@ -171,7 +206,9 @@ def rng_chunk_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _doc_checksums(args: Tuple[int, str]) -> List[Tuple[str, str, int, int, int]]:
+def _doc_checksums(
+    args: Tuple[int, str],
+) -> List[Tuple[str, str, int, int, int, int, int]]:
     did, text = args
     from deepdoc_api_spark.datagen import doc_id_str, gen_doc_spans
     from deepdoc_api_spark.kernels.pipeline import CHUNKER_TYPES, chunk_document
@@ -180,12 +217,23 @@ def _doc_checksums(args: Tuple[int, str]) -> List[Tuple[str, str, int, int, int]
     ds = doc_id_str(did)
     out = []
     for ct in CHUNKER_TYPES:
-        n = ss = hs = 0
+        n = ss = hs = nm = 0
+        hmin = None
         for row in chunk_document(ds, spans, ct, 512):
             n += 1
             ss += int(row["chunk_size"])
-            hs += _hash32_py(_canon_py(row))
-        out.append((ct, ds, n, ss, hs))
+            h = _hash32_py(_canon_py(row))
+            hs += h
+            hmin = h if hmin is None or h < hmin else hmin
+            if row.get("media_ref") is not None:
+                nm += 1
+        # hash_min of an empty group mirrors Spark's absent row: both
+        # engines emit NOTHING for a zero-chunk (chunker, doc) pair —
+        # chunkers always emit >=1 chunk per doc today, and the golden
+        # keeps that contract observable rather than inventing a 0 row
+        # only one engine would produce
+        if n > 0:
+            out.append((ct, ds, n, ss, hs, nm, hmin))
     return out
 
 
@@ -267,10 +315,12 @@ def ensure_golden(sf_dir: str) -> str:
             ("n_chunks", pa.int64()),
             ("size_sum", pa.int64()),
             ("hash_sum", pa.int64()),
+            ("n_media", pa.int64()),
+            ("hash_min", pa.int64()),
         ]
     )
     table = pa.Table.from_pylist(
-        [dict(zip(CHECKSUM_COLUMNS, r)) for r in rows], schema=schema
+        [dict(zip(CHECKSUM_FULL_COLUMNS, r)) for r in rows], schema=schema
     )
     tmp = os.path.join(root, f"tmp-{uuid.uuid4().hex}.parquet")
     try:
@@ -292,4 +342,15 @@ def rng_chunk_checksums_sql(sf_dir: str) -> str:
     return (
         "SELECT chunker_type, doc_id, n_chunks, size_sum, hash_sum"
         f" FROM read_parquet('{path}')"
+    )
+
+
+def rng_chunk_checksums_one_sql(sf_dir: str, chunker_type: str) -> str:
+    """DuckDB oracle for :func:`rng_chunk_checksums_one` — the same
+    golden parquet, filtered to one chunker, full column set."""
+    path = ensure_golden(sf_dir)
+    cols = ", ".join(CHECKSUM_FULL_COLUMNS)
+    return (
+        f"SELECT {cols} FROM read_parquet('{path}')"
+        f" WHERE chunker_type = '{chunker_type}'"
     )

@@ -113,6 +113,12 @@ def test_edge_corpus_matches_oracle(spark, edge_sf, name):
         from deepdoc_api_spark.ops.rng_oracle import rng_chunk_checksums_sql
 
         sql = rng_chunk_checksums_sql(edge_sf)
+    elif name.startswith("extract_chunks_"):
+        from deepdoc_api_spark.ops.rng_oracle import rng_chunk_checksums_one_sql
+
+        sql = rng_chunk_checksums_one_sql(
+            edge_sf, name.removeprefix("extract_chunks_")
+        )
     q = entry_mod.queries()[name]
     sdf = q(spark, edge_sf)
     srows = [tuple(_norm(v) for v in row) for row in sdf.collect()]
@@ -253,6 +259,12 @@ def test_fuzz_corpus_matches_oracle(spark, fuzz_sf, name):
         from deepdoc_api_spark.ops.rng_oracle import rng_chunk_checksums_sql
 
         sql = rng_chunk_checksums_sql(fuzz_sf)
+    elif name.startswith("extract_chunks_"):
+        from deepdoc_api_spark.ops.rng_oracle import rng_chunk_checksums_one_sql
+
+        sql = rng_chunk_checksums_one_sql(
+            fuzz_sf, name.removeprefix("extract_chunks_")
+        )
     q = entry_mod.queries()[name]
     sdf = q(spark, fuzz_sf)
     srows = [tuple(_norm(v) for v in row) for row in sdf.collect()]

@@ -57,6 +57,10 @@ def test_query_matches_oracle(spark, sf_dir, name):
         from deepdoc_api_spark.ops.rng_oracle import rng_chunk_checksums_sql
 
         sql = rng_chunk_checksums_sql(sf_dir)
+    elif name.startswith("extract_chunks_"):
+        from deepdoc_api_spark.ops.rng_oracle import rng_chunk_checksums_one_sql
+
+        sql = rng_chunk_checksums_one_sql(sf_dir, name.removeprefix("extract_chunks_"))
     res = con.execute(sql)
     dcols = [d[0] for d in res.description]
     drows = [tuple(_norm(v) for v in row) for row in res.fetchall()]
@@ -72,26 +76,26 @@ def test_entry_smoke(spark):
     assert "doc_id" in df.columns and "chunk_index" in df.columns
 
 
-def test_rows_only_queries_run(spark, sf_dir):
+def test_every_query_oracle_bearing(spark):
+    # round 7 (VERDICT #3): the extract_chunks_* tail folded to
+    # golden-parquet checksums — EVERY queries() entry now has an
+    # oracle_sql() twin, and the window still holds exactly 50 entries
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
+    assert len(qs) == 50
     rows_only = [k for k in qs if k not in oracles]
-    # after the round-5 consolidation the rows-only family is exactly
-    # four extract_chunks_* pipelines (fallback rotated out for the
-    # oracle-bearing rng_chunk_checksums, which value-covers all five
-    # chunkers) — run ALL of them plus the rotated-out fallback
-    # pipeline, so a driver-side crash in their projections surfaces
-    # here, not in the live driver run
-    assert set(rows_only) == {
-        "extract_chunks_hybrid",
-        "extract_chunks_hierarchical",
-        "extract_chunks_toc",
-        "extract_chunks_mineru",
-    }, rows_only
-    for k in rows_only:
-        n = qs[k](spark, sf_dir).count()
-        assert n > 0, k
-    assert entry_mod._q_chunks("fallback")(spark, sf_dir).count() > 0
+    assert rows_only == [], rows_only
+
+
+def test_raw_extract_chunks_run(spark, sf_dir):
+    # the RAW full-row extract pipelines left queries() in round 7
+    # (their driver rows are now the checksum folds); keep every
+    # chunker's driver-shaped projection executed here so a crash in
+    # the raw path surfaces in pytest, not in entry() (which still
+    # returns the raw hybrid projection to the driver)
+    for ct in ("hybrid", "hierarchical", "toc", "mineru", "fallback"):
+        n = entry_mod._q_chunks(ct)(spark, sf_dir).count()
+        assert n > 0, ct
 
 
 def test_media_kind_histogram_pinned(spark, sf_dir):
@@ -184,10 +188,10 @@ def test_gopher_flag_branches_fire_on_synthetic_docs(spark, tmp_path):
 
 
 def test_simhash16_parity_pinned(spark, sf_dir):
-    """simhash16 left queries() in round 4 (replaced by the
-    oracle-bearing semantic_dedup; the 64-bit SimHash family stays
-    driver-checked via simhash_words/simhash_near_dup_pairs); this
-    keeps the 16-bit variant value-exact against its DuckDB oracle."""
+    """simhash16 is outside the 50-entry driver window (out r4, in r6,
+    out again r7; the 64-bit SimHash family stays driver-checked via
+    simhash_words/simhash_near_dup_pairs); this keeps the 16-bit
+    variant value-exact against its DuckDB oracle."""
     from deepdoc_api_spark.ops.dedup import SIMHASH16_SQL, simhash16
 
     sdf = simhash16(spark, sf_dir)
@@ -200,9 +204,9 @@ def test_simhash16_parity_pinned(spark, sf_dir):
 
 
 def test_length_histogram_parity_pinned(spark, sf_dir):
-    """length_histogram left queries() in round 5 (replaced by the
-    oracle-bearing window_dedup apply step); this keeps it value-exact
-    against its DuckDB oracle."""
+    """length_histogram is outside the 50-entry driver window (out r5,
+    in r6, out again r7 for the r6-new apply steps); this keeps it
+    value-exact against its DuckDB oracle."""
     from deepdoc_api_spark.ops.text_analysis import (
         LENGTH_HISTOGRAM_SQL,
         length_histogram,
@@ -334,10 +338,10 @@ def test_embedding_quantize_int8_parity_and_bound(spark, sf_dir):
         assert max_err_nano <= scale_nano // 2 + 1, vec_id
 
 
-ROTATED_OUT_R6 = [
+ROTATED_OUT = [
     # (name, spark_fn_path, sql_const_path) — rotated out of the
-    # 50-entry driver window in round 6 to surface previously
-    # pytest-only ops (VERDICT #4 rotation policy); each stays
+    # 50-entry driver window (rounds 6-7) to surface previously
+    # pytest-only ops (VERDICT rotation policy); each stays
     # value-exact against its DuckDB oracle here.
     ("media_frames_flat",
      "deepdoc_api_spark.ops.flat_pipeline:media_frames_flat",
@@ -351,6 +355,13 @@ ROTATED_OUT_R6 = [
     ("embedding_norms",
      "deepdoc_api_spark.ops.similarity:embedding_norms",
      "deepdoc_api_spark.ops.similarity:EMBEDDING_NORMS_SQL"),
+    # round 7: reading_order_flat made room for the r6-new apply steps
+    # (O2 stays driver-green inside mineru_source_checksums' (y0,x0)
+    # sort mirror); simhash16/length_histogram (also out in r7) keep
+    # their dedicated parity pins above.
+    ("reading_order_flat",
+     "deepdoc_api_spark.ops.flat_pipeline:reading_order_flat",
+     "deepdoc_api_spark.ops.flat_pipeline:READING_ORDER_FLAT_SQL"),
 ]
 
 
@@ -362,7 +373,7 @@ def _resolve(path):
 
 
 @pytest.mark.parametrize(
-    "name,fn_path,sql_path", ROTATED_OUT_R6, ids=[r[0] for r in ROTATED_OUT_R6]
+    "name,fn_path,sql_path", ROTATED_OUT, ids=[r[0] for r in ROTATED_OUT]
 )
 def test_rotated_out_parity_pinned(spark, sf_dir, name, fn_path, sql_path):
     from deepdoc_api_spark.job.session import ship_package

@@ -180,14 +180,18 @@ def test_invalid_pattern_raises_driver_side(spark, sf_dir):
 def test_driver_canonicalizer_compat(spark, sf_dir, name):
     import __spark_entry__ as entry_mod
 
-    # chunks_with_embeddings left queries() in round 4 and
-    # media_features_flat in round 6 (rotation policy) — their
+    # chunks_with_embeddings left queries() in round 4,
+    # media_features_flat in round 6, and the RAW extract_chunks
+    # projection in round 7 (its driver row is now a checksum fold, but
+    # entry() still hands the raw projection to the driver) — their
     # canonicalizer-compat projections stay pinned here by calling the
     # query fns directly
     if name == "chunks_with_embeddings":
         fn = entry_mod._q_chunks_with_embeddings
     elif name == "media_features_flat":
         fn = entry_mod._q_media_features_flat
+    elif name == "extract_chunks_hybrid":
+        fn = entry_mod._q_chunks("hybrid")
     else:
         fn = entry_mod.queries()[name]
     df = fn(spark, sf_dir)
