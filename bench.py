@@ -223,16 +223,22 @@ def run_bench(sf_dir: str, cpus: int, replicate: int) -> dict:
         from deepdoc_api_spark.ops import fallback_text
 
         # Two passes per ops query, back to back: the FIRST-run number
-        # stays the primary series (`queries`, comparable to every
-        # earlier round), the immediate second pass lands in
-        # `queries_warm` — steady-state cost with plan/codegen/JIT
-        # constants amortized, i.e. what a long-running cluster pays
-        # per invocation. At this test scale the one-time constants
-        # dominate several similarity queries (measured identical
-        # across code rounds), so the warm series is the
-        # scale-relevant signal. (r5 ran two full loops instead of
-        # per-query pairs; per-query pairs keep the warm measurement
+        # stays the primary series (`queries`), the immediate second
+        # pass lands in `queries_warm` — steady-state cost with
+        # plan/codegen/JIT constants amortized, i.e. what a
+        # long-running cluster pays per invocation. At this test scale
+        # the one-time constants dominate several similarity queries
+        # (measured identical across code rounds), so the warm series
+        # is the scale-relevant signal. (r5 ran two full loops instead
+        # of per-query pairs; per-query pairs keep the warm measurement
         # adjacent to its cold one, same host window.)
+        # Comparability caveat (round-6 ADVICE): the ops block moved to
+        # a fresh session with shuffle_partitions=max(cpus//2,16) in r6
+        # (was the flagship's 2*cpus) — first-run ops numbers are
+        # method-comparable from ROUND 6 ON; r5-and-earlier comparisons
+        # conflate the partition-sizing change (containment 10.5→8.8 s
+        # from sizing alone). The setting is recorded in the JSON
+        # (`ops_shuffle_partitions`) so any future change is visible.
         warm: dict = {}
         qcalib: dict = {}
         ops_queries = (
@@ -263,6 +269,37 @@ def run_bench(sf_dir: str, cpus: int, replicate: int) -> dict:
             qcalib[name] = round(_calibrate_host(), 3)
             warm[name] = round(_run_once(name, fn), 3)
 
+        # Scaling pair INSIDE the default run (round-6 VERDICT #4): the
+        # north rule's two-cluster-size criterion, driver-recorded
+        # every round instead of living only in the committed
+        # BENCH/scaling.json. Same job, same spans parquet, fresh
+        # session per level; N=2 → 4N=8 cores is the pair inside the
+        # host's linear region (8→32 saturates the box's memory
+        # bandwidth — the full three-level story with the no-Spark
+        # control stays in `python bench.py --scaling`).
+        spark.stop()
+        scaling_tp: dict = {}
+        for sc_cpus in (2, 8):
+            os.environ["SPARK_GRAFT_CPUS"] = str(sc_cpus)
+            spark = get_spark(
+                app_name=f"ddspark-bench-scaling-{sc_cpus}",
+                master=f"local[{sc_cpus}]",
+                shuffle_partitions=max(2 * sc_cpus, 16),
+                kernel_split_bytes=KERNEL_SPLIT_BYTES,
+            )
+            spans_sc = spark.read.parquet(spans_path)
+            # best-of-2: the first pass pays JVM/codegen/worker cold
+            # start — identical at every level; excluding it measures
+            # the steady-state the criterion is about
+            best = float("inf")
+            for _rep in range(2):
+                t0 = time.monotonic()
+                chunk_documents(spans_sc, "hybrid").count()
+                best = min(best, time.monotonic() - t0)
+            scaling_tp[sc_cpus] = round(n_docs / best, 2)
+            spark.stop()
+        eff_2_to_8 = round(scaling_tp[8] / (4 * scaling_tp[2]), 4)
+
         return {
             "metric": "e2e_hybrid_extract_chunk_sec",
             "value": round(flagship_sec, 3),
@@ -274,6 +311,14 @@ def run_bench(sf_dir: str, cpus: int, replicate: int) -> dict:
             # outlier to host drift vs code (round-5 VERDICT #1)
             "queries_calib": qcalib,
             "ops_session": "fresh",
+            # the ops session's shuffle-partition setting, recorded so
+            # a methodology change never masquerades as a perf change
+            # (round-6 ADVICE)
+            "ops_shuffle_partitions": max(cpus // 2, 16),
+            # north-rule scaling evidence, measured THIS run (N=2 →
+            # 4N=8 cores on the same spans parquet; target >= 0.8)
+            "scaling_docs_per_sec": {str(c): v for c, v in scaling_tp.items()},
+            "eff_2_to_8": eff_2_to_8,
             "sf": _sf_of(sf_dir),
             "n_docs": n_docs,
             "n_chunks": n_chunks,

@@ -30,6 +30,28 @@ from .tokenizer import DEFAULT_TOKEN_BUDGET, count_tokens
 # ---------------------------------------------------------------------------
 
 
+class _FrozenHeadings(list):
+    """Structurally immutable heading snapshot (round-6 ADVICE).
+
+    Elements alias ONE shared snapshot per heading run (the round-6
+    allocation win that also collapses hybrid_chunks' id()-keyed
+    ctx_tok cache). The invariant "no consumer mutates
+    element['headings']" was previously enforced only by a comment —
+    this subclass makes it structural: value-equal to a plain list
+    (so ``==`` comparisons, Arrow conversion, and the golden oracle
+    are untouched), but every in-place mutator raises."""
+
+    def _frozen(self, *a, **k):
+        raise TypeError(
+            "element['headings'] is a shared immutable snapshot; "
+            "copy it before modifying"
+        )
+
+    append = extend = insert = remove = _frozen
+    pop = clear = sort = reverse = _frozen
+    __setitem__ = __delitem__ = __iadd__ = __imul__ = _frozen
+
+
 def hierarchical_elements(
     records: List[Dict], pattern: str = DEFAULT_SECTION_PATTERN
 ) -> List[Dict]:
@@ -64,12 +86,12 @@ def hierarchical_elements(
     """
     # The heading snapshot is the stack object ITSELF, shared by every
     # element under an unchanged stack (round 6): the title branch
-    # always REBINDS before mutating (slice copy, then append on the
-    # copy), so handed-out lists are immutable in practice — verified
-    # no consumer mutates element["headings"]. Sharing halves the list
-    # allocations here AND collapses hybrid_chunks' id()-keyed ctx_tok
-    # cache to one entry per heading run instead of one per element.
-    stack: List[str] = []
+    # always REBINDS (a fresh _FrozenHeadings per title), so handed-out
+    # snapshots are immutable — structurally since round 7 (any
+    # in-place mutation raises). Sharing halves the list allocations
+    # here AND collapses hybrid_chunks' id()-keyed ctx_tok cache to one
+    # entry per heading run instead of one per element.
+    stack: List[str] = _FrozenHeadings()
     elements: List[Dict] = []
     pending_captions: List[Dict] = []
 
@@ -115,8 +137,9 @@ def hierarchical_elements(
         if kind == "title":
             _flush_pending()
             level = _title_level(rec["content"], pattern)
-            stack = stack[: level - 1]
-            stack.append(rec["content"])
+            new_stack = stack[: level - 1]  # slice of a subclass: plain list
+            new_stack.append(rec["content"])
+            stack = _FrozenHeadings(new_stack)
             continue
         if (
             kind == "list"

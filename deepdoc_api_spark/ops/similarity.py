@@ -1413,7 +1413,13 @@ def semantic_dedup_planted_sql(
 # recoverable from the zero point.
 
 def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _emb(spark, sf_dir)
+    # zero-length embeddings are excluded in BOTH engines (round-6
+    # ADVICE): the Spark fold would start at +-Inf (scale_nano
+    # overflowing to null through the cast) while DuckDB list_aggregate
+    # over an empty list yields NULL throughout — rather than pin an
+    # arbitrary agreed sentinel for a vector no real encoder emits, the
+    # mirror contract filters the degenerate row out explicitly
+    emb = _emb(spark, sf_dir).filter("size(embedding) > 0")
     mn = "aggregate(embedding, cast('Infinity' as double), (a, x) -> least(a, cast(x as double)))"
     mx = "aggregate(embedding, cast('-Infinity' as double), (a, x) -> greatest(a, cast(x as double)))"
     with_params = emb.selectExpr(
@@ -1446,7 +1452,7 @@ WITH p AS (
          (list_aggregate(list_transform(embedding, x -> x::DOUBLE), 'max')
           - list_aggregate(list_transform(embedding, x -> x::DOUBLE), 'min'))
            / 255.0 AS scale
-  FROM embeddings
+  FROM embeddings WHERE len(embedding) > 0
 ),
 c AS (
   SELECT vec_id, embedding, mn, scale,

@@ -278,16 +278,25 @@ def ensure_mineru_jsonl(sf_dir: str) -> str:
     """Generate (once, cached) the deterministic middle-JSON corpus
     for ``sf_dir``'s doc_ids; returns the JSONL path. Driver-local by
     design — on a real cluster the corpus would live on shared
-    storage, but here the JSONL is test input, not engine state."""
+    storage, but here the JSONL is test input, not engine state.
+
+    Cache identity (round-6 ADVICE): the filename is keyed on a digest
+    of the ORDERED doc_id list plus the recipe version — two sf dirs
+    that share a basename and doc count but differ in ids can no
+    longer alias each other's corpus — and the file lives under a
+    dedicated cache dir rather than bare /tmp, so os.replace never
+    lands on a foreign sticky-bit file."""
+    import hashlib
     import json
     import tempfile
 
     ids = _doc_ids(sf_dir)
-    base = os.path.basename(sf_dir.rstrip("/"))
-    path = os.path.join(
-        tempfile.gettempdir(),
-        f"ddspark-mineru-src-{base}-v{_SRC_GEN_VERSION}-n{len(ids)}.jsonl",
-    )
+    digest = hashlib.md5(
+        (f"v{_SRC_GEN_VERSION}:" + ",".join(str(i) for i in ids)).encode()
+    ).hexdigest()[:16]
+    root = os.path.join(tempfile.gettempdir(), "ddspark-mineru-cache")
+    os.makedirs(root, exist_ok=True)
+    path = os.path.join(root, f"mineru-src-{digest}.jsonl")
     if os.path.exists(path):
         return path
     tmp = path + f".tmp{os.getpid()}"

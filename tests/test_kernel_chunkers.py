@@ -298,3 +298,52 @@ def test_chunk_document_deterministic():
     assert chunk_document("d", spans, "hybrid") == chunk_document(
         "d", spans, "hybrid"
     )
+
+
+# ---------------------------------------------------------------------------
+# heading-snapshot immutability (round-6 ADVICE, made structural in r7)
+# ---------------------------------------------------------------------------
+
+
+def test_heading_snapshots_shared_and_structurally_immutable():
+    import pytest
+
+    from deepdoc_api_spark.kernels.chunkers import hierarchical_elements
+
+    els = hierarchical_elements(
+        [
+            rec("title", "1. Alpha"),
+            rec("text", "first body"),
+            rec("list", "item one"),
+            rec("title", "1.1 Beta"),
+            rec("text", "second body"),
+            rec("text", "third body"),
+        ]
+    )
+    # elements under an unchanged stack alias ONE snapshot object (the
+    # round-6 allocation win the id()-keyed ctx_tok cache relies on)
+    assert els[0]["headings"] is els[1]["headings"]
+    assert els[2]["headings"] is els[3]["headings"]
+    assert els[0]["headings"] == ["1. Alpha"]
+    assert els[2]["headings"] == ["1. Alpha", "1.1 Beta"]
+    # ...and the snapshot still compares value-equal to a plain list in
+    # BOTH directions (merge guards use ==)
+    assert ["1. Alpha"] == els[0]["headings"]
+    # any in-place mutation raises instead of silently corrupting every
+    # sibling element of the heading run + the ctx_tok cache
+    for mutate in (
+        lambda h: h.append("x"),
+        lambda h: h.extend(["x"]),
+        lambda h: h.insert(0, "x"),
+        lambda h: h.pop(),
+        lambda h: h.remove("1. Alpha"),
+        lambda h: h.clear(),
+        lambda h: h.sort(),
+        lambda h: h.reverse(),
+        lambda h: h.__setitem__(0, "x"),
+        lambda h: h.__delitem__(0),
+        lambda h: h.__iadd__(["x"]),
+    ):
+        with pytest.raises(TypeError):
+            mutate(els[0]["headings"])
+    assert els[0]["headings"] == ["1. Alpha"]  # unharmed

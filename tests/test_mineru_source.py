@@ -304,3 +304,33 @@ def test_reader_degenerate_shapes(spark, tmp_path):
     assert rows["real"] == [
         {"kind": "text", "text": "hello", "media_ref": "", "offset": 0}
     ]
+
+
+def test_jsonl_cache_keyed_on_doc_id_digest(tmp_path):
+    """Round-6 ADVICE: the JSONL cache was keyed on sf-dir basename +
+    doc count, so two sf dirs with the same basename and count but
+    different doc_ids silently aliased each other's corpus. The key is
+    now a digest of the ORDERED doc_id list: same ids -> same cached
+    file, different ids (same basename/count) -> different file."""
+    import duckdb
+
+    from deepdoc_api_spark.sources.mineru_json import ensure_mineru_jsonl
+
+    def mk(parent, ids):
+        sf = tmp_path / parent / "sf"
+        sf.mkdir(parents=True)
+        duckdb.connect().execute(
+            "copy (select unnest(?::BIGINT[]) as doc_id) to "
+            f"'{sf}/documents.parquet' (format parquet)",
+            [ids],
+        )
+        return str(sf)
+
+    a = mk("a", [1, 2, 3])
+    b = mk("b", [1, 2, 3])     # same ids, different dir -> cache hit
+    c = mk("c", [4, 5, 6])     # same basename+count, different ids
+    pa_, pb, pc = (ensure_mineru_jsonl(d) for d in (a, b, c))
+    assert pa_ == pb
+    assert pc != pa_
+    # and the cached contents really are per-id-set
+    assert '"doc_id": "4"' in open(pc).read().splitlines()[0]

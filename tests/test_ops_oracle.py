@@ -491,3 +491,40 @@ def test_line_dedup_parity_pinned(spark, sf_dir):
         assert r.n_dup_lines_dropped == (3 if d % 5 == 0 else 2), d
     total = sum(r.n_dup_lines_dropped for r in rows.values())
     assert total == 2 * (n - 1) + (n // 5 - 1)
+
+
+def test_embedding_quantize_int8_excludes_empty_vectors(spark, tmp_path):
+    """Round-6 ADVICE: a zero-length embedding made the Spark fold
+    start at +-Inf (scale_nano null via cast) while DuckDB yielded NULL
+    throughout — divergent rows. Both engines now filter the
+    degenerate row out explicitly; parity must hold on a corpus that
+    CONTAINS one."""
+    import os
+
+    import duckdb
+
+    from deepdoc_api_spark.ops.similarity import (
+        EMBEDDING_QUANTIZE_INT8_SQL,
+        embedding_quantize_int8,
+    )
+
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf)
+    rows = [(0, [], 0), (1, [0.5, -0.25, 0.125], 1), (2, [1.0, 1.0], 2)]
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).coalesce(1).write.parquet(os.path.join(sf, "embeddings.parquet"))
+
+    sdf = embedding_quantize_int8(spark, sf)
+    srows = sorted(tuple(_norm(v) for v in r) for r in sdf.collect())
+    con = duckdb.connect()
+    con.execute(
+        "create view embeddings as select * from "
+        f"'{os.path.join(sf, 'embeddings.parquet')}/*.parquet'"
+    )
+    drows = sorted(
+        tuple(_norm(v) for v in r)
+        for r in con.execute(EMBEDDING_QUANTIZE_INT8_SQL).fetchall()
+    )
+    assert srows == drows
+    assert [r[0] for r in srows] == [1, 2]  # empty vector excluded, rest kept
