@@ -1,6 +1,6 @@
 PY ?= python
 
-.PHONY: test package bench scaling smoke verify
+.PHONY: test package bench scaling smoke verify robustness
 
 test:
 	$(PY) -m pytest tests/ -x -q
@@ -27,3 +27,8 @@ smoke: package
 # queries() entry vs its DuckDB oracle, exactly like CORRECTNESS_r{N}
 verify:
 	SPARK_GRAFT_TEST_SF_DIR=/root/testdata/sf0.01 $(PY) -m pytest tests/test_ops_oracle.py -q
+
+# 160k-doc checkpointed job per chunker type vs pinned counts — the
+# at-scale kernel-drift tripwire (~1 min per chunker at local[32])
+robustness:
+	$(PY) tools/robustness_160k.py

