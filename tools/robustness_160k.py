@@ -38,9 +38,9 @@ BUCKETS = 256
 EXPECTED = {
     "hybrid": 7_428_682,
     "toc": 1_699_700,
-    "hierarchical": None,  # pinned below after first r7 measurement
-    "mineru": None,
-    "fallback": None,
+    "hierarchical": 12_418_755,  # first pinned r7 (double-run confirmed)
+    "mineru": 6_592_708,
+    "fallback": 1_694_334,
 }
 
 
