@@ -1167,3 +1167,126 @@ LINE_DEDUP_PLANTED_SQL = _line_dedup_sql(
     " THEN concat(chr(10), 'shared mid-document quote') ELSE '' END,"
     " chr(10), 'shared boilerplate footer')"
 )
+
+
+# ---------------------------------------------------------------------------
+# GPT-style sequence packing (round 7)
+# ---------------------------------------------------------------------------
+
+#: training window length in tokens (GPT-2 used 1024, Llama 2048/4096)
+SEQ_PACK_WINDOW = 2048
+
+#: docs per prefix-sum bucket — sized so NO single task ever sees more
+#: than ~4M tiny (doc_id, n_tokens) rows: at 10^12 documents the
+#: bucket-level cumulative window runs over 10^12/2^22 ≈ 238k rows
+#: (one small task) and each intra-bucket window partition holds ≤2^22
+#: rows (~64 MB of longs). A third level extends the same recursion to
+#: 10^18. Values are bucketing-invariant (exact integer prefix sums),
+#: so the DuckDB mirror uses one flat cumulative window.
+SEQ_PACK_BUCKET = 1 << 22
+
+
+def sequence_packing(
+    spark: SparkSession, sf_dir: str, window: int = SEQ_PACK_WINDOW
+) -> DataFrame:
+    """Per-document packing provenance under GPT-style pretraining
+    sequence packing: every document (in global ``doc_id`` order,
+    whitespace token count per the ``token_count`` contract, ONE EOD
+    token appended each) is concatenated into a single token stream
+    and chopped into fixed ``window``-token training sequences — the
+    standard concat-and-chop batching of GPT-2/3- and Llama-style
+    pretraining (Brown et al. 2020 §2.2 pack documents with an
+    end-of-text delimiter; RedPajama/Pile training recipes likewise).
+
+    Output per doc: its stream ``start_offset``, the first/last
+    training window it touches (``last_window`` includes its EOD
+    token, which also defines empty docs unambiguously), how many
+    windows it spans, and whether a window boundary splits it — the
+    signal a curriculum/attention-masking pipeline consumes (split
+    docs get cross-document attention unless masked).
+
+    Plan shape (the 100 TB story): a distributed TWO-LEVEL prefix sum
+    — per-bucket token totals (one small aggregate), ONE tiny
+    unpartitioned cumulative window over the ≤n/2^22 bucket rows,
+    broadcast back, then an intra-bucket cumulative window partitioned
+    by bucket. No global sort of the corpus, no single task over more
+    than 2^22 scalar rows; the token counting itself is whole-stage
+    codegen. (A naive ``Window.orderBy(doc_id)`` with no partition —
+    the obvious spelling — serializes the ENTIRE corpus through one
+    task; this op exists in two stages precisely to avoid that.)
+    """
+    counts = _docs(spark, sf_dir).selectExpr(
+        "doc_id",
+        "cast(size(split(trim(text), '\\\\s+')) as bigint) as n_tokens",
+        f"cast(doc_id div {SEQ_PACK_BUCKET} as bigint) as bkt",
+    )
+    bucket_sums = counts.groupBy("bkt").agg(
+        F.expr("cast(sum(n_tokens + 1) as bigint)").alias("bkt_tokens")
+    )
+    offs = bucket_sums.selectExpr(
+        "bkt",
+        "cast(coalesce(sum(bkt_tokens) over (order by bkt"
+        " rows between unbounded preceding and 1 preceding), 0)"
+        " as bigint) as bkt_start",
+    )
+    return (
+        counts.join(F.broadcast(offs), "bkt")
+        .selectExpr(
+            "doc_id",
+            "n_tokens",
+            "cast(bkt_start + coalesce(sum(n_tokens + 1) over ("
+            " partition by bkt order by doc_id"
+            " rows between unbounded preceding and 1 preceding), 0)"
+            " as bigint) as start_offset",
+        )
+        .selectExpr(
+            "doc_id",
+            "n_tokens",
+            "start_offset",
+            f"cast(start_offset div {window} as bigint) as first_window",
+            f"cast((start_offset + n_tokens) div {window} as bigint)"
+            " as last_window",
+        )
+        .selectExpr(
+            "doc_id",
+            "n_tokens",
+            "start_offset",
+            "first_window",
+            "last_window",
+            "cast(last_window - first_window + 1 as bigint) as n_windows",
+            "cast(last_window != first_window as boolean) as is_split",
+        )
+    )
+
+
+def sequence_packing_sql(window: int = SEQ_PACK_WINDOW) -> str:
+    """DuckDB mirror: one flat cumulative window (prefix sums are
+    bucketing-invariant, so the two-level Spark plan and this flat
+    spelling agree exactly); token count per the TOKEN_COUNT_SQL
+    contract (Java \\s class spelled out)."""
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         len(regexp_split_to_array(trim(text, ' '),
+             '[ \\t\\n\\x0b\\f\\r]+'))::BIGINT AS n_tokens
+  FROM documents
+),
+o AS (
+  SELECT doc_id, n_tokens,
+         coalesce(sum(n_tokens + 1) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+           AS start_offset
+  FROM t
+)
+SELECT doc_id, n_tokens, start_offset,
+       (start_offset // {window})::BIGINT AS first_window,
+       ((start_offset + n_tokens) // {window})::BIGINT AS last_window,
+       ((start_offset + n_tokens) // {window}
+        - start_offset // {window} + 1)::BIGINT AS n_windows,
+       ((start_offset + n_tokens) // {window}
+        <> start_offset // {window}) AS is_split
+FROM o
+"""
+
+
+SEQUENCE_PACKING_SQL = sequence_packing_sql()

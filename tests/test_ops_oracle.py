@@ -528,3 +528,41 @@ def test_embedding_quantize_int8_excludes_empty_vectors(spark, tmp_path):
     )
     assert srows == drows
     assert [r[0] for r in srows] == [1, 2]  # empty vector excluded, rest kept
+
+
+def test_sequence_packing_parity_and_contiguity(spark, sf_dir):
+    """New round-7 op (GPT-style concat-and-chop sequence packing),
+    pytest-pinned — the 50-entry driver window is full; r8 rotation
+    candidate. Value-exact vs the DuckDB mirror at TWO window sizes,
+    plus the packing contract itself: offsets are contiguous
+    (next.start = prev.start + prev.n_tokens + 1 — exactly one EOD
+    between docs), window indices never skip, and a small window
+    forces real splits."""
+    from deepdoc_api_spark.ops.text_analysis import (
+        sequence_packing,
+        sequence_packing_sql,
+    )
+
+    for w in (2048, 64):
+        sdf = sequence_packing(spark, sf_dir, window=w)
+        srows = [tuple(_norm(v) for v in row) for row in sdf.collect()]
+        res = _duck(sf_dir).execute(sequence_packing_sql(window=w))
+        dcols = [d[0] for d in res.description]
+        drows = [tuple(_norm(v) for v in row) for row in res.fetchall()]
+        assert sdf.columns == dcols
+        assert sorted(srows) == sorted(drows) and len(srows) > 0
+
+    rows = sorted(srows)  # the w=64 run, by doc_id
+    prev = None
+    n_split = 0
+    for doc_id, n_tok, start, first_w, last_w, n_w, is_split in rows:
+        assert first_w == start // 64 and last_w == (start + n_tok) // 64
+        assert n_w == last_w - first_w + 1 and is_split == (n_w > 1)
+        if prev is not None:
+            p_start, p_tok, p_last = prev
+            assert start == p_start + p_tok + 1  # exactly one EOD apart
+            assert first_w in (p_last, p_last + 1)  # no skipped window
+        prev = (start, n_tok, last_w)
+        n_split += bool(is_split)
+    # a 64-token window over multi-hundred-token docs must split often
+    assert n_split > len(rows) // 2
