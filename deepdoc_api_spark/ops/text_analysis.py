@@ -1211,14 +1211,23 @@ def sequence_packing(
     broadcast back, then an intra-bucket cumulative window partitioned
     by bucket. No global sort of the corpus, no single task over more
     than 2^22 scalar rows; the token counting itself is whole-stage
-    codegen. (A naive ``Window.orderBy(doc_id)`` with no partition —
-    the obvious spelling — serializes the ENTIRE corpus through one
-    task; this op exists in two stages precisely to avoid that.)
+    codegen, and the scalar (doc_id, n_tokens, bkt) projection is
+    CHECKPOINTED once so the bucket-sum branch and the per-doc branch
+    share one tokenization pass over the corpus instead of re-reading
+    ``text`` twice (verified via .explain: without the checkpoint the
+    parquet scan + tokenize appeared in both join branches). (A naive
+    ``Window.orderBy(doc_id)`` with no partition — the obvious
+    spelling — serializes the ENTIRE corpus through one task; this op
+    exists in two stages precisely to avoid that.)
     """
-    counts = _docs(spark, sf_dir).selectExpr(
-        "doc_id",
-        "cast(size(split(trim(text), '\\\\s+')) as bigint) as n_tokens",
-        f"cast(doc_id div {SEQ_PACK_BUCKET} as bigint) as bkt",
+    from deepdoc_api_spark.ops.dedup import _checkpoint
+
+    counts = _checkpoint(
+        _docs(spark, sf_dir).selectExpr(
+            "doc_id",
+            "cast(size(split(trim(text), '\\\\s+')) as bigint) as n_tokens",
+            f"cast(doc_id div {SEQ_PACK_BUCKET} as bigint) as bkt",
+        )
     )
     bucket_sums = counts.groupBy("bkt").agg(
         F.expr("cast(sum(n_tokens + 1) as bigint)").alias("bkt_tokens")
