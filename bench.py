@@ -296,26 +296,7 @@ def run_bench(sf_dir: str, cpus: int, replicate: int) -> dict:
             )
             sc_n_docs = spark.read.parquet(sc_spans_path).count()
         spark.stop()
-        scaling_tp: dict = {}
-        for sc_cpus in (2, 8):
-            os.environ["SPARK_GRAFT_CPUS"] = str(sc_cpus)
-            spark = get_spark(
-                app_name=f"ddspark-bench-scaling-{sc_cpus}",
-                master=f"local[{sc_cpus}]",
-                shuffle_partitions=max(2 * sc_cpus, 16),
-                kernel_split_bytes=KERNEL_SPLIT_BYTES,
-            )
-            spans_sc = spark.read.parquet(sc_spans_path)
-            # best-of-2: the first pass pays JVM/codegen/worker cold
-            # start — identical at every level; excluding it measures
-            # the steady-state the criterion is about
-            best = float("inf")
-            for _rep in range(2):
-                t0 = time.monotonic()
-                chunk_documents(spans_sc, "hybrid").count()
-                best = min(best, time.monotonic() - t0)
-            scaling_tp[sc_cpus] = round(sc_n_docs / best, 2)
-            spark.stop()
+        scaling_tp = _measure_throughput(sc_spans_path, sc_n_docs, (2, 8))
         eff_2_to_8 = round(scaling_tp[8] / (4 * scaling_tp[2]), 4)
 
         return {
@@ -365,9 +346,39 @@ def run_bench(sf_dir: str, cpus: int, replicate: int) -> dict:
         spark.stop()
 
 
+def _measure_throughput(spans_path: str, n_docs: int, levels) -> dict:
+    """Flagship docs/sec at each core count: fresh session per level,
+    best-of-2 (the first pass pays JVM/codegen/python-worker cold
+    start — identical at every level, so excluding it measures the
+    steady-state the criterion is about). ONE implementation shared by
+    the default run's scaling block and --scaling (round-7 review: two
+    drifting copies would let a methodology fix silently diverge the
+    driver-recorded eff_2_to_8 from the committed scaling.json)."""
+    from deepdoc_api_spark.job.pipeline import chunk_documents
+    from deepdoc_api_spark.job.session import KERNEL_SPLIT_BYTES, get_spark
+
+    tp: dict = {}
+    for cpus in levels:
+        os.environ["SPARK_GRAFT_CPUS"] = str(cpus)
+        spark = get_spark(
+            master=f"local[{cpus}]",
+            shuffle_partitions=max(2 * cpus, 16),
+            app_name=f"scaling-{cpus}",
+            kernel_split_bytes=KERNEL_SPLIT_BYTES,
+        )
+        spans = spark.read.parquet(spans_path)
+        best = float("inf")
+        for _rep in range(2):
+            t0 = time.monotonic()
+            chunk_documents(spans, "hybrid").count()
+            best = min(best, time.monotonic() - t0)
+        tp[cpus] = round(n_docs / best, 2)
+        spark.stop()
+    return tp
+
+
 def run_scaling(sf_dir: str, replicate: int) -> dict:
     """Same job, same parquet span input, multiple core counts."""
-    from deepdoc_api_spark.job.pipeline import chunk_documents
     from deepdoc_api_spark.job.session import KERNEL_SPLIT_BYTES, get_spark
 
     corpus_dir = tempfile.mkdtemp(prefix="ddspark-scaling-corpus-")
@@ -382,26 +393,7 @@ def run_scaling(sf_dir: str, replicate: int) -> dict:
         n_docs = spark.read.parquet(spans_path).count()
         spark.stop()
 
-        tp: dict = {}
-        for cpus in (2, 8, 32):
-            spark = get_spark(
-                master=f"local[{cpus}]",
-                shuffle_partitions=max(2 * cpus, 16),
-                app_name=f"scaling-{cpus}",
-                kernel_split_bytes=KERNEL_SPLIT_BYTES,
-            )
-            spans = spark.read.parquet(spans_path)
-            # best-of-2 per level: the first pass pays JVM/codegen/python
-            # worker cold start — identical at every level, so excluding
-            # it measures the steady-state the criterion is about
-            best = float("inf")
-            for _rep in range(2):
-                t0 = time.monotonic()
-                chunk_documents(spans, "hybrid").count()
-                best = min(best, time.monotonic() - t0)
-            tp[cpus] = round(n_docs / best, 2)
-            spark.stop()
-
+        tp = _measure_throughput(spans_path, n_docs, (2, 8, 32))
         eff_2_8 = tp[8] / (4 * tp[2])
         eff_8_32 = tp[32] / (4 * tp[8])
         return {

@@ -51,6 +51,14 @@ class _FrozenHeadings(list):
     pop = clear = sort = reverse = _frozen
     __setitem__ = __delitem__ = __iadd__ = __imul__ = _frozen
 
+    def __reduce__(self):
+        # pickle/copy/deepcopy rebuild list subclasses through
+        # append/extend, which the mutator block above turns into
+        # TypeErrors far from the cause (round-7 review). A serialized
+        # or copied snapshot is detached from the sharing invariant
+        # anyway, so round-trip as a PLAIN list.
+        return (list, (list(self),))
+
 
 def hierarchical_elements(
     records: List[Dict], pattern: str = DEFAULT_SECTION_PATTERN

@@ -237,7 +237,9 @@ def _doc_checksums(
     return out
 
 
-def _compute_golden_rows(sf_dir: str) -> List[Tuple[str, str, int, int, int]]:
+def _compute_golden_rows(
+    sf_dir: str,
+) -> List[Tuple[str, str, int, int, int, int, int]]:
     import multiprocessing as mp
 
     import pyarrow.dataset as ds

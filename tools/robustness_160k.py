@@ -57,16 +57,36 @@ def main() -> int:
         ship_package,
     )
 
+    chunkers = args.chunkers.split(",")
+    # reject unknown names UP FRONT (round-7 review): the kernel routes
+    # an unknown chunker_type to hybrid, and an unpinned name would
+    # otherwise "pass" vacuously — a typo'd run must fail loudly, not
+    # report a drift-check that never ran
+    unknown = [ct for ct in chunkers if ct not in EXPECTED]
+    if unknown:
+        print(f"unknown chunker(s): {unknown}; known: {sorted(EXPECTED)}",
+              file=sys.stderr)
+        return 2
+
     spark = get_spark(
         app_name="ddspark-robustness-160k", kernel_split_bytes=KERNEL_SPLIT_BYTES
     )
     ship_package(spark)
-    spans = spans_from_documents(spark, SF_DIR, replicate=REPLICATE)
+    # materialize the replicated corpus ONCE and read it back per
+    # chunker (round-7 review): run_checkpointed re-executes its input
+    # lineage, so handing it the raw generator DataFrame regenerated
+    # the ~11.6M-span corpus five times per invocation
+    corpus_dir = tempfile.mkdtemp(prefix="ddspark-robust-corpus-")
+    spans_path = os.path.join(corpus_dir, "spans.parquet")
+    spans_from_documents(
+        spark, SF_DIR, replicate=REPLICATE
+    ).write.mode("overwrite").parquet(spans_path)
+    spans = spark.read.parquet(spans_path)
 
     import time
 
     failed = []
-    for ct in args.chunkers.split(","):
+    for ct in chunkers:
         out = tempfile.mkdtemp(prefix=f"ddspark-robust-{ct}-")
         try:
             t0 = time.monotonic()
@@ -90,6 +110,7 @@ def main() -> int:
                 failed.append(ct)
         finally:
             shutil.rmtree(out, ignore_errors=True)
+    shutil.rmtree(corpus_dir, ignore_errors=True)
     if failed:
         print(f"DRIFT in: {failed}", file=sys.stderr)
         return 1
