@@ -876,12 +876,21 @@ def unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     a term-keyed shuffle join, and a 1-row totals broadcast — the same
     corpus-statistics join family as tfidf/ngram_doc_frequency; at
     lake scale every aggregate partial-combines before its exchange
-    and the join key space is the vocabulary.
+    and the join key space is the vocabulary. The ``tf`` relation is
+    CHECKPOINTED: three consumers hang off it (the scored join, the
+    vocabulary counts, and totals via counts), and Catalyst does not
+    dedupe shared subtrees — without the checkpoint the corpus was
+    scanned and re-exploded into words THREE times (round-7 .explain
+    audit: 3 parquet scans / 3 Generates → 1 checkpoint scan).
     """
+    from deepdoc_api_spark.ops.dedup import _checkpoint
+
     words = _docs(spark, sf_dir).selectExpr(
         "doc_id", "explode(split(trim(lower(text)), '\\\\s+')) as term"
     )
-    tf = words.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    tf = _checkpoint(
+        words.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    )
     counts = tf.groupBy("term").agg(F.sum("tf").alias("c"))
     totals = counts.agg(
         F.sum("c").alias("n_total"), F.count("*").alias("v_size")
@@ -1063,8 +1072,14 @@ def _line_dedup_from(docs: DataFrame) -> DataFrame:
     same two-shuffle family as window_dedup/ngram_doc_frequency —
     nothing quadratic, keys are line hashes with natural skew handled
     by the exempt-empty rule (the only truly degenerate key) and AQE.
+    The exploded ``lines`` relation is CHECKPOINTED — both the keeper
+    aggregate and the mark-join consume it, and without the
+    checkpoint the corpus was scanned and re-exploded twice (round-7
+    .explain audit).
     """
-    lines = (
+    from deepdoc_api_spark.ops.dedup import _checkpoint
+
+    lines = _checkpoint(
         docs.repartition(
             docs.sparkSession.sparkContext.defaultParallelism * 2, "doc_id"
         )
