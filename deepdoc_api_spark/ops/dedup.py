@@ -247,13 +247,20 @@ def jaccard_near_dup_pairs(
 
     Join is on band signatures (tiny keys); the Jaccard compare uses
     ``array_intersect``/``array_union`` on the deduped shingle arrays.
+
+    Both shared relations are CHECKPOINTED (round-7 .explain audit:
+    without them the plan held 6 parquet scans / 4 shingle explosions —
+    Catalyst does not dedupe shared subtrees): ``bands`` embeds the
+    full md5 minhash computation and feeds the bucket histogram plus
+    BOTH sides of the candidate self-join; ``grams`` feeds the a- and
+    b-side verify fetches.
     """
-    grams = (
+    grams = _checkpoint(
         _docs_words(spark, sf_dir)
         .filter("size(w) >= 3")
         .selectExpr("doc_id", f"array_distinct({_SHINGLES_EXPR}) as gs")
     )
-    all_bands = _all_bands(spark, sf_dir)
+    all_bands = _checkpoint(_all_bands(spark, sf_dir))
     # frequent-band suppression (skew guard): drop mega-buckets before
     # the self-join — the broadcastable small-bucket list drives the join
     ok_buckets = (
@@ -758,11 +765,18 @@ def simhash_near_dup_pairs(
     structs = ", ".join(
         f"named_struct('band', {k}, 'key', w{k})" for k in range(4)
     )
-    bands = sh.selectExpr(
-        "doc_id", "w0", "w1", "w2", "w3",
-        f"explode(array({structs})) as bb",
-    ).selectExpr(
-        "doc_id", "w0", "w1", "w2", "w3", "bb.band as band", "bb.key as key"
+    # CHECKPOINTED (round-7 .explain audit): bands embeds the whole
+    # 64-bit simhash computation (one md5 per distinct word + 64 bit
+    # folds) and feeds the bucket histogram plus BOTH self-join sides —
+    # without the checkpoint it was evaluated three times. Scalar rows
+    # only (7 small ints per row).
+    bands = _checkpoint(
+        sh.selectExpr(
+            "doc_id", "w0", "w1", "w2", "w3",
+            f"explode(array({structs})) as bb",
+        ).selectExpr(
+            "doc_id", "w0", "w1", "w2", "w3", "bb.band as band", "bb.key as key"
+        )
     )
     ok_buckets = (
         bands.groupBy("band", "key")

@@ -463,12 +463,20 @@ def tfidf_top_terms(
     counts, a document-frequency aggregate on the term, and a term-keyed
     shuffle join of the two — the classic corpus-statistics join; at
     lake scale both sides are partial-aggregated before the exchange
-    and the join key space is the vocabulary.
+    and the join key space is the vocabulary. ``tf`` is CHECKPOINTED:
+    it feeds both the df aggregate and the scored join, and Catalyst
+    does not dedupe shared subtrees — without it the corpus was
+    scanned and re-exploded twice (round-7 .explain audit, same class
+    as unigram_surprisal's 3×).
     """
+    from deepdoc_api_spark.ops.dedup import _checkpoint
+
     words = _docs(spark, sf_dir).selectExpr(
         "doc_id", "explode(split(trim(lower(text)), '\\\\s+')) as term"
     )
-    tf = words.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    tf = _checkpoint(
+        words.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    )
     df = (
         tf.groupBy("term")
         .agg(F.count("*").alias("df"))  # tf rows are per-(doc, term): df = doc count
@@ -764,7 +772,14 @@ def window_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # phantom windows for a sub-W-word document (the same footgun the
     # shingle expression guards against — ops/dedup.py). Docs below W
     # words re-enter via the left join as all-tail rows.
-    wins = (
+    # wins is CHECKPOINTED: the keeper aggregate and the mark-join both
+    # consume it, and without the checkpoint the corpus was re-split
+    # and re-exploded per consumer (round-7 .explain audit). The final
+    # tail join re-reads the pruned (doc_id, text) scan instead — a
+    # scalar-only checkpoint, per the containment-op precedent.
+    from deepdoc_api_spark.ops.dedup import _checkpoint
+
+    wins = _checkpoint(
         t.filter(f"size(w) >= {w}")
         .selectExpr(
             "doc_id",
