@@ -4,7 +4,7 @@ Plan shape (SURVEY §3.1 Spark lifecycle):
 
     read spans table
       ├─ size-class on size(spans)                (JVM-side, no shuffle)
-      ├─ small docs  → fused mapInPandas kernel   (no shuffle at all)
+      ├─ small docs  → fused mapInArrow kernel    (no shuffle at all)
       └─ giant docs  → posexplode → sharded per-span extraction
                       → groupBy(doc_id) reassembly → chunk pass
     union → chunks DataFrame
@@ -37,10 +37,32 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..schema import CHUNK_COLUMNS, CHUNK_DDL, SPANS_DDL
+from ..schema import CHUNK_COLUMNS, CHUNK_DDL, CHUNK_SCHEMA, SPANS_DDL, SPANS_SCHEMA
 
-#: docs with at least this many spans take the sharded path
-DEFAULT_SKEW_THRESHOLD = 4000
+
+def _arrow_schema_of(struct_type):
+    """PyArrow schema for a Spark StructType — the exact mapping Spark's
+    own Arrow serializer uses, so hand-built RecordBatches match what
+    ``mapInArrow`` declares."""
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    return to_arrow_schema(struct_type)
+
+#: docs with at least this many spans take the giant-doc path. Round-8
+#: re-derivation (guide §1.2: algorithm before config): the giant
+#: branch costs a SECOND full scan of the span table (the size-class
+#: predicate is computed, not stored, so parquet cannot prune it) plus
+#: a shuffle — an O(corpus) price paid whether or not any giant
+#: exists. Isolation only pays for itself when one document's kernel
+#: time could stall a whole task wave: at the measured ~35k spans/s
+#: per core, a 32k-span document is ~1 s of kernel — the same order as
+#: a task under the 4 MB kernel splits — so anything smaller now runs
+#: inline in the fused kernel (identical bytes either way, tested).
+#: The old 4000-span threshold isolated ~0.12 s documents: at sf0.1×4
+#: it spent ~0.5-2.5 s of wall on the second scan + exchange to save
+#: nothing (measured round 8; plans/r08/). True monsters (≥ ~10^5
+#: spans) still take the isolate/shard path unchanged.
+DEFAULT_SKEW_THRESHOLD = 32768
 #: spans per extraction shard on the giant path
 SHARD_SPANS = 512
 #: span-cache entries idle longer than this are sweepable (mtime is
@@ -86,19 +108,39 @@ def spans_from_documents(
         num_partitions = spark.sparkContext.defaultParallelism * 4
     docs = docs.repartition(num_partitions, "doc_id")
 
-    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    # mapInArrow with direct RecordBatch construction (round 8, guide
+    # §4.2): the pandas round-trip serialized every span struct through
+    # an object column on both sides of the worker; building the Arrow
+    # list<struct> array straight from the generator's dicts removes
+    # that transpose (measured 3.1 → 2.4 s noop-isolated at sf0.1×4,
+    # bit-identical rows — the corpus is a pure function of the input).
+    def gen(batches):
+        import pyarrow as pa
+
         from deepdoc_api_spark.datagen import doc_id_str, gen_doc_spans
 
-        for pdf in batches:
-            rows = []
-            for d, t in zip(pdf["doc_id"], pdf["text"]):
+        schema = _arrow_schema_of(SPANS_SCHEMA)
+        span_type = schema.field(1).type
+        for rb in batches:
+            ids = rb.column(rb.schema.get_field_index("doc_id")).to_pylist()
+            texts = rb.column(rb.schema.get_field_index("text")).to_pylist()
+            out_ids: list = []
+            out_spans: list = []
+            for d, t in zip(ids, texts):
                 for r in range(replicate):
                     did = int(d) * replicate + r
-                    rows.append((doc_id_str(did), gen_doc_spans(did, t or "")))
-            if rows:
-                yield pd.DataFrame(rows, columns=["doc_id", "spans"])
+                    out_ids.append(doc_id_str(did))
+                    out_spans.append(gen_doc_spans(did, t or ""))
+            if out_ids:
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(out_ids, type=pa.string()),
+                        pa.array(out_spans, type=span_type),
+                    ],
+                    schema=schema,
+                )
 
-    return docs.mapInPandas(gen, SPANS_DDL)
+    return docs.mapInArrow(gen, SPANS_DDL)
 
 
 def spans_parquet_cached(
@@ -225,23 +267,42 @@ def spans_parquet_cached(
 
 
 def _fused_kernel(chunker_type: str, token_budget: int, toc_params=None):
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Arrow-native fused kernel (round 8, guide §4.2): spans arrive as
+    one ``list<struct>`` Arrow column decoded with ``to_pylist`` (C
+    path) and chunk rows leave as a directly-built RecordBatch — the
+    pandas object-column transpose on both sides of the worker is gone
+    (measured ~0.4 s off the flagship at sf0.1×4; chunk values are
+    byte-identical, the kernel itself is untouched)."""
+
+    def run(batches):
+        import pyarrow as pa
+
         from deepdoc_api_spark.kernels.pipeline import chunk_document
 
-        for pdf in batches:
-            rows = []
-            for doc_id, spans in zip(pdf["doc_id"], pdf["spans"]):
+        schema = _arrow_schema_of(CHUNK_SCHEMA)
+        types = [schema.field(i).type for i in range(len(schema))]
+        for rb in batches:
+            ids = rb.column(rb.schema.get_field_index("doc_id")).to_pylist()
+            spans = rb.column(rb.schema.get_field_index("spans")).to_pylist()
+            rows: list = []
+            for doc_id, s in zip(ids, spans):
                 rows.extend(
                     chunk_document(
                         doc_id,
-                        spans if spans is not None else [],
+                        s if s is not None else [],
                         chunker_type,
                         token_budget,
                         toc_params=toc_params,
                     )
                 )
             if rows:
-                yield pd.DataFrame(rows, columns=CHUNK_COLUMNS)
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array([r[c] for r in rows], type=t)
+                        for c, t in zip(CHUNK_COLUMNS, types)
+                    ],
+                    schema=schema,
+                )
 
     return run
 
@@ -375,12 +436,12 @@ def chunk_documents(
     small = src.filter(n_spans < skew_threshold)
     giant = src.filter(n_spans >= skew_threshold)
 
-    small_chunks = small.mapInPandas(
+    small_chunks = small.mapInArrow(
         _fused_kernel(chunker_type, token_budget, toc_params), CHUNK_DDL
     )
 
     if skew_strategy == "isolate":
-        giant_chunks = giant.repartition(n_parts, "doc_id").mapInPandas(
+        giant_chunks = giant.repartition(n_parts, "doc_id").mapInArrow(
             _fused_kernel(chunker_type, token_budget, toc_params), CHUNK_DDL
         )
         return small_chunks.unionByName(giant_chunks)

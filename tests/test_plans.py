@@ -76,7 +76,10 @@ def test_small_doc_path_has_no_shuffle(spark, sf_dir):
     # the small-doc branch is scan -> filter -> MapInPandas, shuffle-free
     exchanges = re.findall(r"^\(\d+\) Exchange\n(?:.*\n)*?Arguments: (.*)", plan, re.M)
     assert len(exchanges) == 1 and "REPARTITION_BY_NUM" in exchanges[0]
-    assert "MapInPandas" in plan
+    # round 8: the fused kernel is a mapInArrow node (direct RecordBatch
+    # construction — no pandas transpose); still exactly one Python
+    # crossing, still shuffle-free on the small-doc branch
+    assert "MapInArrow" in plan
 
 
 def test_quality_score_stays_in_codegen(spark, sf_dir):
