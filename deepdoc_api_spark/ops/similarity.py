@@ -55,6 +55,25 @@ def _emb_nonzero(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _emb(spark, sf_dir).filter(_NONZERO_EXPR)
 
 
+def _emb_seq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embeddings scan WITHOUT the CPU-spread repartition — for the
+    numpy-vectorized consumers (round 8). The explicit
+    ``repartition(2·parallelism)`` in :func:`_emb` is a full shuffle of
+    the vector payload that paid off only while per-row math was
+    interpreted JVM lambdas; the numpy kernels are ~50× cheaper per
+    row, so the scan's own splits are parallelism enough at any scale
+    (``maxPartitionBytes`` governs them) and the shuffle plus its
+    2·parallelism task constants became the dominant cost (measured:
+    ivf warm 2.8 → 1.6 s at sf0.1 from this alone). JVM-expression
+    consumers (brute-force/LSH/banded top-k, quantize, norms) keep
+    :func:`_emb`."""
+    return spark.read.parquet(f"{sf_dir.rstrip('/')}/embeddings.parquet")
+
+
+def _emb_seq_nonzero(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _emb_seq(spark, sf_dir).filter(_NONZERO_EXPR)
+
+
 def _embedding_dim(sf_dir: str) -> int:
     """Vector dimensionality, read from the parquet footer + first row
     group driver-side — NOT via ``df.first()``, which launches an extra
@@ -327,25 +346,62 @@ def _near_dup_pairs_from(
     id joins against the base table (the same candidates-then-fetch
     pattern as the Jaccard text path) for the exact-cosine verify.
     """
-    sigs = _band_sig_exprs(dim, quote=False, n_bands=n_bands, band_bits=band_bits)
-    structs = ", ".join(
-        f"named_struct('band', {k}, 'key', cast({sig} as int))"
-        for k, sig in enumerate(sigs)
-    )
+    import numpy as np
+
     from deepdoc_api_spark.ops.dedup import _checkpoint
 
-    hp = _hp_row(emb.sparkSession, dim, n_bands * band_bits)
-    bands = (
-        emb.join(F.broadcast(hp))
-        .selectExpr("vec_id", f"explode(array({structs})) as bb")
-        .selectExpr("vec_id", "bb.band as band", "bb.key as key")
+    # Round 8 (guide §4.2): the n_bands·band_bits hyperplane projections
+    # move from interpreted JVM lambda folds (~n·128·dim interpreted
+    # steps per pass) to one vectorized numpy kernel per Arrow batch.
+    # Bit-exact by construction: veccore mirrors the left-to-right
+    # double accumulation of the old `aggregate(zip_with(...))`
+    # expressions (see veccore module docstring); the signs are the
+    # same driver-computed hyperplane_signs constants. Sketch rows,
+    # checkpoint, suppression and joins are unchanged.
+    signs = np.array(
+        [hyperplane_signs(b, dim) for b in range(n_bands * band_bits)],
+        dtype=np.float64,
+    )
+
+    def mk_bands(batches):
+        import numpy as _np
+        import pyarrow as pa
+
+        from deepdoc_api_spark.ops.veccore import band_keys, list_col_to_matrix
+
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            ids = rb.column(rb.schema.get_field_index("vec_id")).to_numpy(
+                zero_copy_only=False
+            )
+            X = list_col_to_matrix(
+                rb.column(rb.schema.get_field_index("embedding")), dim
+            )
+            keys = band_keys(X, signs, band_bits)  # (n, n_bands) int32
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(_np.repeat(ids, n_bands), type=pa.int64()),
+                    pa.array(
+                        _np.tile(
+                            _np.arange(n_bands, dtype=_np.int32), len(ids)
+                        ),
+                        type=pa.int32(),
+                    ),
+                    pa.array(keys.reshape(-1), type=pa.int32()),
+                ],
+                names=["vec_id", "band", "key"],
+            )
+
+    bands = emb.select("vec_id", "embedding").mapInArrow(
+        mk_bands, "vec_id bigint, band int, key int"
     )
     # the band sketch feeds THREE consumers (bucket histogram + both
     # self-join sides); without materialization each re-runs the
-    # n_bands·band_bits hyperplane projections over the full corpus —
-    # measured 3× the op's steady-state cost at sf0.1 (round 5). The
-    # checkpoint holds 3 scalars per (vec, band): the same
-    # scalar-sketch discipline as the containment op.
+    # hyperplane projections over the full corpus — measured 3× the
+    # op's steady-state cost at sf0.1 (round 5). The checkpoint holds
+    # 3 scalars per (vec, band): the same scalar-sketch discipline as
+    # the containment op.
     bands = _checkpoint(bands, eager=True)
     ok_buckets = (
         bands.groupBy("band", "key")
@@ -393,7 +449,7 @@ def embedding_near_dup_pairs(
     band signature, with frequent buckets suppressed (broadcast ok-list,
     same skew guard as the MinHash text dedup); exact cosine verifies.
     """
-    emb = _emb_nonzero(spark, sf_dir)
+    emb = _emb_seq_nonzero(spark, sf_dir)
     dim = _embedding_dim(sf_dir)
     return _near_dup_pairs_from(emb, dim, threshold_micro, n_bands, band_bits)
 
@@ -414,7 +470,7 @@ def embedding_near_dup_pairs_planted(
     path REAL pairs at cos ≈ 0.998 whose band keys, bucket suppression,
     candidate join and exact-cosine threshold must all agree with the
     DuckDB re-derivation value-exactly."""
-    emb = _emb(spark, sf_dir)
+    emb = _emb_seq(spark, sf_dir)
     twins = emb.selectExpr(
         f"{_TWIN_ID_EXPR} as vec_id", f"{_TWIN_EXPR} as embedding"
     )
@@ -742,6 +798,151 @@ def _argmax_cell(vec: str, nv: str) -> str:
     )
 
 
+def _assign_arrow(emb_n: DataFrame, cid_list, cent_list) -> DataFrame:
+    """Per-row argmax cell assignment, numpy-vectorized (round 8).
+
+    Value-identical twin of ``_argmax_cell`` over a broadcast centroid
+    array: veccore mirrors the left-to-right double accumulation, the
+    floor-to-micro cast and the (sim DESC, cid ASC) tie-break of the
+    JVM struct-max (see veccore docstring; bit-equality pinned by
+    tests/test_veccore_bitexact.py). ``cid_list``/``cent_list`` must be
+    ascending by cid — the same array_sort contract the struct-max
+    relied on. Empty centroid set → all-null cids, mirroring the JVM
+    ``array_max`` over an empty array."""
+    import numpy as np
+
+    if not cid_list:
+        return emb_n.selectExpr(
+            "vec_id", "embedding", "nv", "cast(null as bigint) as cid"
+        )
+    from deepdoc_api_spark.ops.veccore import seq_norm
+
+    Ca = np.array(cent_list, dtype=np.float64)
+    dim = Ca.shape[1]
+    nb = seq_norm(Ca)
+    cida = np.array(cid_list, dtype=np.int64)
+    bc = emb_n.sparkSession.sparkContext.broadcast((cida, Ca, nb))
+
+    def assign(batches):
+        import pyarrow as pa
+
+        from deepdoc_api_spark.ops.veccore import (
+            argmax_cid,
+            list_col_to_matrix,
+            sim_micro_matrix,
+        )
+
+        cids_b, C_b, nb_b = bc.value
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            i_emb = rb.schema.get_field_index("embedding")
+            X = list_col_to_matrix(rb.column(i_emb), dim)
+            nv = rb.column(rb.schema.get_field_index("nv")).to_numpy(
+                zero_copy_only=False
+            )
+            cid = argmax_cid(sim_micro_matrix(X, nv, C_b, nb_b), cids_b)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    rb.column(rb.schema.get_field_index("vec_id")),
+                    rb.column(i_emb),
+                    rb.column(rb.schema.get_field_index("nv")),
+                    pa.array(cid, type=pa.int64()),
+                ],
+                names=["vec_id", "embedding", "nv", "cid"],
+            )
+
+    return emb_n.mapInArrow(
+        assign,
+        "vec_id bigint, embedding array<float>, nv double, cid bigint",
+    )
+
+
+def _assign_lloyd_partials(emb_n: DataFrame, cid_list, cent_list) -> DataFrame:
+    """Seed-assignment + per-task partial Lloyd sums in one numpy pass
+    (round 8): assigns each vector to its argmax seed exactly like
+    ``_assign_arrow`` and emits ``(cid, dim, s)`` partial sums of
+    ``floor(x·1e6)`` int64 micros. Integer addition is associative, so
+    the partials aggregate to the identical totals the old
+    posexplode → groupBy path produced. Empty seed set mirrors the old
+    null-cid aggregate: no rankable centroid → no rows."""
+    import numpy as np
+
+    spark = emb_n.sparkSession
+    if not cid_list:
+        from pyspark.sql.types import (
+            IntegerType,
+            LongType,
+            StructField,
+            StructType,
+        )
+
+        return spark.createDataFrame(
+            [],
+            StructType(
+                [
+                    StructField("cid", LongType()),
+                    StructField("dim", IntegerType()),
+                    StructField("s", LongType()),
+                ]
+            ),
+        )
+    from deepdoc_api_spark.ops.veccore import seq_norm
+
+    Ca = np.array(cent_list, dtype=np.float64)
+    dim = Ca.shape[1]
+    nb = seq_norm(Ca)
+    cida = np.array(cid_list, dtype=np.int64)
+    bc = spark.sparkContext.broadcast((cida, Ca, nb))
+
+    def part(batches):
+        import pyarrow as pa
+
+        from deepdoc_api_spark.ops.veccore import (
+            argmax_cid,
+            list_col_to_matrix,
+            sim_micro_matrix,
+        )
+
+        cids_b, C_b, nb_b = bc.value
+        sums: dict = {}
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            X = list_col_to_matrix(
+                rb.column(rb.schema.get_field_index("embedding")), dim
+            )
+            nv = rb.column(rb.schema.get_field_index("nv")).to_numpy(
+                zero_copy_only=False
+            )
+            cid = argmax_cid(sim_micro_matrix(X, nv, C_b, nb_b), cids_b)
+            xm = np.floor(X * 1000000.0).astype(np.int64)
+            for c in np.unique(cid):
+                s = xm[cid == c].sum(axis=0)
+                if c in sums:
+                    sums[c] += s
+                else:
+                    sums[c] = s
+        if sums:
+            cids_out: list = []
+            dims_out: list = []
+            s_out: list = []
+            for c, s in sums.items():
+                cids_out.extend([int(c)] * dim)
+                dims_out.extend(range(dim))
+                s_out.extend(int(v) for v in s)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(cids_out, type=pa.int64()),
+                    pa.array(dims_out, type=pa.int32()),
+                    pa.array(s_out, type=pa.int64()),
+                ],
+                names=["cid", "dim", "s"],
+            )
+
+    return emb_n.mapInArrow(part, "cid bigint, dim int, s bigint")
+
+
 def _kmeans_assign(emb: DataFrame, nlist: int):
     """Deterministic k-means-lite cell assignment, shared by the IVF
     quantizer and the semantic-dedup clustering.
@@ -756,29 +957,32 @@ def _kmeans_assign(emb: DataFrame, nlist: int):
         "vec_id", "embedding",
         f"{_NORM.format(a='embedding')} as nv",
     )
-    seeds_row = (
+    # seeds collected driver-side (≤ nlist rows — the same bounded
+    # Lloyd-collect class as the centroid collect below); round 8 moved
+    # the argmax passes to the numpy kernel, which needs the centroid
+    # values in hand rather than as a broadcast-joined 1-row relation
+    seed_rows = sorted(
         emb.filter(f"vec_id >= 0 and vec_id < {nlist}")
         .selectExpr("cast(vec_id as bigint) as cid", "embedding as c")
-        .agg(F.expr("array_sort(collect_list(struct(cid, c)))").alias("cents"))
-        .selectExpr(_WITH_NB)
+        .collect(),
+        key=lambda r: r.cid,
     )
-    assign1 = (
-        emb_n.join(F.broadcast(seeds_row))
-        .selectExpr(
-            "vec_id", "embedding",
-            f"{_argmax_cell('embedding', 'nv')} as cid",
-        )
+    # Lloyd update in integer micro space. Round 8: the per-element
+    # ``floor(x·1e6)`` explode (N·dim float rows through two codegen
+    # stages) is folded INTO the numpy assignment kernel as per-task
+    # partial sums — integer addition is associative, so partial
+    # aggregation order cannot move the totals (bit-exact by
+    # arithmetic, not just by luck). The shuffle now carries ≤
+    # tasks·nlist·dim scalar rows instead of N·dim, with the same
+    # (cid, dim) → sum → per-cid array fold on top.
+    partials = _assign_lloyd_partials(
+        emb_n,
+        [int(r.cid) for r in seed_rows],
+        [[float(v) for v in r.c] for r in seed_rows],
     )
-    # Lloyd update in integer micro space: shuffle carries (cid, dim,
-    # bigint) scalars with map-side combine — the standard k-means
-    # aggregation shape at any corpus size
     cent = (
-        assign1.selectExpr("cid", "posexplode(embedding) as (dim, x)")
-        .selectExpr(
-            "cid", "dim", "cast(floor(cast(x as double) * 1000000) as bigint) as xm"
-        )
-        .groupBy("cid", "dim")
-        .agg(F.sum("xm").alias("s"))
+        partials.groupBy("cid", "dim")
+        .agg(F.sum("s").alias("s"))
         .groupBy("cid")
         .agg(
             F.expr(
@@ -822,17 +1026,14 @@ def _kmeans_assign(emb: DataFrame, nlist: int):
         [([(int(r.cid), [float(v) for v in r.c]) for r in cent_rows],)],
         "cents array<struct<cid:bigint, c:array<double>>>",
     ).selectExpr(_WITH_NB)
-    assign = (
-        emb_n.join(F.broadcast(cent_row))
-        .selectExpr(
-            "vec_id", "embedding", "nv",
-            f"{_argmax_cell('embedding', 'nv')} as cid",
-        )
-        # null cid = no rankable centroid exists (argmax over an empty
-        # cents array) — such vectors leave the clustering in BOTH
-        # engines (the oracle's a2 row_number naturally drops them)
-        .filter("cid is not null")
-    )
+    assign = _assign_arrow(
+        emb_n,
+        [int(r.cid) for r in cent_rows],
+        [[float(v) for v in r.c] for r in cent_rows],
+        # null cid = no rankable centroid exists (empty centroid set) —
+        # such vectors leave the clustering in BOTH engines (the
+        # oracle's a2 row_number naturally drops them)
+    ).filter("cid is not null")
     return assign, cent_row
 
 
@@ -844,7 +1045,7 @@ def ivf_topk(
     nlist: Optional[int] = None,
     nprobe: int = IVF_NPROBE,
 ) -> DataFrame:
-    emb = _emb_nonzero(spark, sf_dir)
+    emb = _emb_seq_nonzero(spark, sf_dir)
     if nlist is None:
         nlist = nlist_for(_n_vecs(sf_dir))
     emb_n = emb.selectExpr(
@@ -1177,22 +1378,59 @@ def _semantic_dedup_from(
     sizes2 = final.groupBy("fcid").agg(F.count("*").alias("n_vecs"))
     ok = sizes2.filter(F.col("n_vecs") <= max_cluster_vecs).select("fcid")
     members = final.join(F.broadcast(ok), "fcid")
-    a = members.selectExpr(
-        "fcid", "vec_id as id_a", "embedding as ea", "nv as na"
-    )
-    b = members.selectExpr(
-        "fcid", "vec_id as id_b", "embedding as eb", "nv as nb"
-    )
-    dot = _DOT.format(a="ea", b="eb")
-    pairs = (
-        a.join(b, "fcid")
-        .filter("id_a < id_b")
-        .selectExpr(
-            "id_a",
-            "id_b",
-            f"cast(floor({dot} / (na * nb) * 1000000) as bigint) as sim_micro",
+
+    # Round 8 (guide §4.2): the intra-cluster pairwise compare moves
+    # from a fcid self-join evaluating an interpreted per-pair lambda
+    # dot (O(cluster²·dim) interpreted steps — the op's measured hot
+    # spot at sf0.1) to one numpy kernel per cluster group. Bit-exact:
+    # products are commutative so pair orientation cannot move the
+    # value, the accumulation is the same left-to-right double fold
+    # (veccore), and nv values are the SAME upstream column the JVM
+    # divide consumed. One bonus: groupBy ships each vector once — the
+    # old self-join shuffled both sides. Pair set, threshold and all
+    # downstream aggregations are unchanged.
+    def _pair_fn(pdf):
+        import numpy as np
+        import pandas as pd
+
+        from deepdoc_api_spark.ops.veccore import seq_sum
+
+        m = len(pdf)
+        if m < 2:
+            return pd.DataFrame(
+                {"id_a": [], "id_b": [], "sim_micro": []}
+            ).astype({"id_a": "int64", "id_b": "int64", "sim_micro": "int64"})
+        ids = pdf["vec_id"].to_numpy()
+        X = np.stack(
+            [np.asarray(e, dtype=np.float64) for e in pdf["embedding"]]
         )
-        .filter(F.col("sim_micro") >= tau_micro)
+        nv = pdf["nv"].to_numpy()
+        ia, ib = np.triu_indices(m, 1)
+        out_a, out_b, out_s = [], [], []
+        # bound the (pairs × dim) product matrix per slice
+        step = max(1, (1 << 23) // max(X.shape[1], 1))
+        for s in range(0, len(ia), step):
+            sa, sb = ia[s : s + step], ib[s : s + step]
+            dots = seq_sum(X[sa] * X[sb])
+            sims = np.floor(
+                dots / (nv[sa] * nv[sb]) * 1000000.0
+            ).astype(np.int64)
+            keep = sims >= tau_micro
+            lo = np.minimum(ids[sa[keep]], ids[sb[keep]])
+            hi = np.maximum(ids[sa[keep]], ids[sb[keep]])
+            out_a.append(lo)
+            out_b.append(hi)
+            out_s.append(sims[keep])
+        return pd.DataFrame(
+            {
+                "id_a": np.concatenate(out_a),
+                "id_b": np.concatenate(out_b),
+                "sim_micro": np.concatenate(out_s),
+            }
+        )
+
+    pairs = members.groupBy("fcid").applyInPandas(
+        _pair_fn, "id_a bigint, id_b bigint, sim_micro bigint"
     )
     partners = pairs.selectExpr("id_a as vec_id", "id_b as partner").unionByName(
         pairs.selectExpr("id_b as vec_id", "id_a as partner")
@@ -1233,7 +1471,7 @@ def semantic_dedup(
     if nlist is None:
         nlist = nlist_for(_n_vecs(sf_dir))
     return _semantic_dedup_from(
-        _emb_nonzero(spark, sf_dir), tau_micro, nlist, max_cluster_vecs
+        _emb_seq_nonzero(spark, sf_dir), tau_micro, nlist, max_cluster_vecs
     )
 
 
@@ -1251,7 +1489,7 @@ def semantic_dedup_planted(
     giving the verify path one true positive per vector whose cluster
     assignment, pairwise cosine and keeper arithmetic must all match
     the DuckDB re-derivation value-exactly."""
-    emb = _emb(spark, sf_dir)
+    emb = _emb_seq(spark, sf_dir)
     twins = emb.selectExpr(
         f"{_TWIN_ID_EXPR} as vec_id", f"{_TWIN_EXPR} as embedding"
     )
