@@ -149,6 +149,11 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ``array_min(transform(shingles, h_k))`` per hash function — stays
     inside whole-stage codegen, one row in → one row out, no shuffle.
+    (A round-8 A/B also ran this as a Python md5 kernel: warm cost
+    ROSE 0.93 vs 0.40 s at sf0.1 — commons-codec md5 under the JVM
+    beats hashlib-per-shingle here — so the JVM expression stays; the
+    Python twin lives on in texthash.py for the fused jaccard sketch
+    comparison test.)
     """
     mh = [
         f"array_min(transform(dg, d -> {_window_expr(k)})) as mh{k}"
@@ -248,19 +253,35 @@ def jaccard_near_dup_pairs(
     Join is on band signatures (tiny keys); the Jaccard compare uses
     ``array_intersect``/``array_union`` on the deduped shingle arrays.
 
-    Both shared relations are CHECKPOINTED (round-7 .explain audit:
-    without them the plan held 6 parquet scans / 4 shingle explosions —
-    Catalyst does not dedupe shared subtrees): ``bands`` embeds the
-    full md5 minhash computation and feeds the bucket histogram plus
-    BOTH sides of the candidate self-join; ``grams`` feeds the a- and
-    b-side verify fetches.
+    Round-7 .explain audit: without materialization the plan held 6
+    parquet scans / 4 shingle explosions (Catalyst does not dedupe
+    shared subtrees). Round 8 goes one further: ONE fused sketch pass
+    computes ``(doc_id, gs, mh0..mh7)`` — the distinct shingle set AND
+    the minhash minima from the SAME digest transform — so the corpus
+    is shingled+md5-hashed once instead of twice (the old ``grams``
+    and ``bands`` checkpoints were independent md5 passes over
+    independent shingle expressions). Minima over the distinct shingle
+    set equal minima over the raw stream — a duplicate cannot move a
+    minimum — so the signatures, bands and pairs are unchanged (oracle
+    parity green at both test scales). A single checkpoint feeds the
+    verify fetches (gs) and the band explode (mh*, scalar-cheap per
+    consumer).
     """
-    grams = _checkpoint(
+    mh = [
+        f"array_min(transform(dg, d -> {_window_expr(k)})) as mh{k}"
+        for k in range(N_HASHES)
+    ]
+    sketch = _checkpoint(
         _docs_words(spark, sf_dir)
         .filter("size(w) >= 3")
         .selectExpr("doc_id", f"array_distinct({_SHINGLES_EXPR}) as gs")
+        .selectExpr("doc_id", "gs", f"{_digests_expr('gs')} as dg")
+        .selectExpr("doc_id", "gs", *mh)
     )
-    all_bands = _checkpoint(_all_bands(spark, sf_dir))
+    grams = sketch.select("doc_id", "gs")
+    all_bands = _bands_of(
+        sketch.select("doc_id", *[f"mh{k}" for k in range(N_HASHES)])
+    )
     # frequent-band suppression (skew guard): drop mega-buckets before
     # the self-join — the broadcastable small-bucket list drives the join
     ok_buckets = (
@@ -390,7 +411,9 @@ def _containment_pairs_from_words(
     # checkpoint materializes the sketch once (localCheckpoint
     # single-node, reliable files on a cluster via the session
     # checkpoint dir); at corpus scale this is the difference between
-    # 1 and 5 full scans.
+    # 1 and 5 full scans. (Round-8 A/B: a Python md5 twin of this
+    # sketch measured a wash cold and slightly worse warm — JVM md5
+    # wins at this shape, so the expression form stays.)
     mh = [
         f"array_min(transform(dg, d -> {_window_expr(k)})) as mh{k}"
         for k in range(N_HASHES)
@@ -617,6 +640,9 @@ def simhash16(spark: SparkSession, sf_dir: str) -> DataFrame:
     16 bit-sum folds then traverse precomputed bigints (md5 per word
     per bit would cost 16× the hashing).
     """
+    # (round-8 A/B: the Python md5-per-word kernel measured WORSE here —
+    # warm 0.69 vs 0.37 s — one md5 + one 16-bit fold per word is the
+    # shape JVM md5 wins; the 64-bit variant below keeps the kernel)
     words = _docs_words(spark, sf_dir).selectExpr(
         "doc_id", "array_distinct(w) as dw"
     )
@@ -682,32 +708,35 @@ def simhash_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     64-bit value keeps the bit math engine-portable (no sign-bit
     overflow in either engine) and the words ARE the LSH band keys.
     """
-    words = _docs_words(spark, sf_dir).selectExpr(
-        "doc_id", "array_distinct(w) as dw"
-    )
-    hashes = words.selectExpr(
-        "doc_id", "transform(dw, x -> md5(concat('0:', x))) as ds"
-    ).selectExpr(
-        "doc_id",
-        "transform(ds, d -> cast(conv(substr(d, 1, 8), 16, 10) as bigint)) as ha",
-        "transform(ds, d -> cast(conv(substr(d, 9, 8), 16, 10) as bigint)) as hb",
-    )
-    bit_sums = [
-        f"aggregate({arr}, cast(0 as bigint), (acc, h) ->"
-        f" acc + ((h >> {i % 32}) & 1) * 2 - 1) as b{i}"
-        for i, arr in [(j, "ha") for j in range(32)] + [(j, "hb") for j in range(32, 64)]
-    ]
-    word_exprs = [
-        "cast("
-        + " + ".join(
-            f"(case when b{16 * k + j} >= 0 then {1 << j} else 0 end)"
-            for j in range(16)
-        )
-        + f" as bigint) as w{k}"
-        for k in range(4)
-    ]
-    return hashes.selectExpr("doc_id", *bit_sums).selectExpr(
-        "doc_id", *word_exprs
+    def kernel(batches):
+        import pyarrow as pa
+
+        from deepdoc_api_spark.ops.texthash import simhash64_words
+
+        for rb in batches:
+            ids = rb.column(rb.schema.get_field_index("doc_id")).to_pylist()
+            dws = rb.column(rb.schema.get_field_index("dw")).to_pylist()
+            if not ids:
+                continue
+            words4 = [simhash64_words(dw) for dw in dws]
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(ids, type=pa.int64())]
+                + [
+                    pa.array([w[k] for w in words4], type=pa.int64())
+                    for k in range(4)
+                ],
+                names=["doc_id", "w0", "w1", "w2", "w3"],
+            )
+
+    # round 8: one md5 per distinct word, windows from the digest
+    # bytes, 64 integer bit sums — the Python kernel computes the
+    # identical values (integer sums are order-free; bit-equality
+    # pinned by tests/test_texthash_bitexact.py) without the
+    # interpreted-lambda evaluation and its fresh-session JIT cost
+    return (
+        _docs_words(spark, sf_dir)
+        .selectExpr("doc_id", "array_distinct(w) as dw")
+        .mapInArrow(kernel, "doc_id bigint, w0 bigint, w1 bigint, w2 bigint, w3 bigint")
     )
 
 
