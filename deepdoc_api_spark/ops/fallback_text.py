@@ -29,9 +29,6 @@ output partitioning.
 
 from __future__ import annotations
 
-from typing import Iterator
-
-import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 
 REPLICAS = 9
@@ -53,33 +50,46 @@ def fallback_window_chunks(
         .repartition(n, "doc_id")
     )
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    # round 8: arrow-native wrapper (same shape as the flagship fused
+    # kernel) — the K5 kernel itself is untouched; rows leave as a
+    # directly-built RecordBatch instead of a pandas frame
+    def run(batches):
+        import pyarrow as pa
+
         from deepdoc_api_spark.kernels.chunkers import fallback_chunks
 
-        for pdf in batches:
-            rows = []
-            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+        for rb in batches:
+            ids = rb.column(rb.schema.get_field_index("doc_id")).to_pylist()
+            texts = rb.column(rb.schema.get_field_index("text")).to_pylist()
+            o_id: list = []
+            o_idx: list = []
+            o_txt: list = []
+            o_sz: list = []
+            o_ov: list = []
+            for doc_id, text in zip(ids, texts):
                 content = " ".join([text or ""] * replicas)
                 for i, ch in enumerate(fallback_chunks(content)):
-                    rows.append(
-                        (
-                            doc_id,
-                            i,
-                            ch["text"],
-                            len(ch["text"]),
-                            int(ch["chunk_overlap"]),
-                        )
-                    )
-            if rows:
-                yield pd.DataFrame(
-                    rows,
-                    columns=[
+                    o_id.append(doc_id)
+                    o_idx.append(i)
+                    o_txt.append(ch["text"])
+                    o_sz.append(len(ch["text"]))
+                    o_ov.append(int(ch["chunk_overlap"]))
+            if o_id:
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(o_id, type=pa.int64()),
+                        pa.array(o_idx, type=pa.int32()),
+                        pa.array(o_txt, type=pa.string()),
+                        pa.array(o_sz, type=pa.int64()),
+                        pa.array(o_ov, type=pa.int32()),
+                    ],
+                    names=[
                         "doc_id", "chunk_index", "text",
                         "chunk_size", "chunk_overlap",
                     ],
                 )
 
-    return docs.mapInPandas(run, FALLBACK_WINDOW_DDL)
+    return docs.mapInArrow(run, FALLBACK_WINDOW_DDL)
 
 
 def fallback_window_chunks_sql(

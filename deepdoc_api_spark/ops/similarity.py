@@ -99,27 +99,66 @@ def brute_force_topk(
     k: int = DEFAULT_K,
     n_queries: int = DEFAULT_N_QUERIES,
 ) -> DataFrame:
-    """Exact cosine top-k: broadcast the (tiny) query side against the
-    full table — a map-side-only scan, no shuffle until the final
-    per-query top-k aggregation."""
-    emb = _emb_nonzero(spark, sf_dir)
-    # query norms ride in the broadcast (computed once per query, not
-    # once per (row, query) pair — the same loop-invariant hoist as the
-    # IVF argmax); identical expressions evaluated once, values exact
-    queries = emb.filter(F.col("vec_id") < n_queries).selectExpr(
-        "vec_id as qid", "embedding as q",
-        f"{_NORM.format(a='embedding')} as nq",
+    """Exact cosine top-k: the (tiny, bounded) query side is collected
+    and closed over by a numpy scoring kernel against the full table —
+    a map-side-only scan, no shuffle until the final per-query top-k
+    aggregation. Round 8: the old broadcast-join evaluated an
+    interpreted ``aggregate(zip_with(...))`` dot per (row, query) pair
+    (N·Q·dim interpreted steps); the kernel computes the identical
+    floor-micro sims vectorized (left-to-right accumulation, veccore —
+    bit-equality pinned by tests/test_veccore_bitexact.py)."""
+    import numpy as np
+
+    emb = _emb_seq_nonzero(spark, sf_dir)
+    q_rows = sorted(
+        emb.filter(F.col("vec_id") < n_queries)
+        .selectExpr("cast(vec_id as bigint) as qid", "embedding as q")
+        .collect(),
+        key=lambda r: r.qid,
     )
-    dot = _DOT.format(a="embedding", b="q")
-    na = _NORM.format(a="embedding")
-    scored = (
-        emb.join(F.broadcast(queries))
-        .filter("vec_id != qid")
-        .selectExpr(
-            "qid",
-            "vec_id",
-            f"cast(floor({dot} / ({na} * nq) * 1000000) as bigint) as sim_micro",
+    qids = np.array([int(r.qid) for r in q_rows], dtype=np.int64)
+    Q = np.array(
+        [[float(v) for v in r.q] for r in q_rows], dtype=np.float64
+    )
+
+    def score(batches):
+        import pyarrow as pa
+
+        from deepdoc_api_spark.ops.veccore import (
+            list_col_to_matrix,
+            seq_norm,
+            sim_micro_matrix,
         )
+
+        if len(qids) == 0:
+            return
+        nq = seq_norm(Q)
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            ids = rb.column(rb.schema.get_field_index("vec_id")).to_numpy(
+                zero_copy_only=False
+            )
+            X = list_col_to_matrix(
+                rb.column(rb.schema.get_field_index("embedding")),
+                Q.shape[1],
+            )
+            nv = seq_norm(X)
+            sims = sim_micro_matrix(X, nv, Q, nq)  # (n, n_queries)
+            out_qid = np.tile(qids, len(ids))
+            out_vid = np.repeat(ids, len(qids))
+            keep = out_vid != out_qid
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(out_qid[keep], type=pa.int64()),
+                    pa.array(out_vid[keep], type=pa.int64()),
+                    pa.array(sims.reshape(-1)[keep], type=pa.int64()),
+                ],
+                names=["qid", "vec_id", "sim_micro"],
+            )
+
+    scored = emb.select("vec_id", "embedding").mapInArrow(
+        score, "qid bigint, vec_id bigint, sim_micro bigint"
     )
     return (
         scored.withColumn(
@@ -943,15 +982,18 @@ def _assign_lloyd_partials(emb_n: DataFrame, cid_list, cent_list) -> DataFrame:
     return emb_n.mapInArrow(part, "cid bigint, dim int, s bigint")
 
 
-def _kmeans_assign(emb: DataFrame, nlist: int):
+def _kmeans_assign(emb: DataFrame, nlist: int, seed_rows=None):
     """Deterministic k-means-lite cell assignment, shared by the IVF
     quantizer and the semantic-dedup clustering.
 
-    Returns ``(assign, cent_row)``: assign = (vec_id, embedding, nv,
-    cid) after ONE integer-micro Lloyd refinement; cent_row = the
-     1-row broadcastable centroid table (cid, c, nb). Seeds are the
+    Returns ``(assign, cent_rows)``: assign = (vec_id, embedding, nv,
+    cid) after ONE integer-micro Lloyd refinement; cent_rows = the
+    refined centroids as a cid-ascending driver-side row list
+    (bounded at nlist — the Lloyd-collect pattern). Seeds are the
     nlist lowest NON-NEGATIVE vec_ids (the planted-twin id space is
-    negative and must never seed).
+    negative and must never seed); a caller that already collected
+    them (ivf shares one job for seeds + query vectors) passes
+    ``seed_rows`` (cid-ascending rows of (cid, c)).
     """
     emb_n = emb.selectExpr(
         "vec_id", "embedding",
@@ -961,12 +1003,13 @@ def _kmeans_assign(emb: DataFrame, nlist: int):
     # Lloyd-collect class as the centroid collect below); round 8 moved
     # the argmax passes to the numpy kernel, which needs the centroid
     # values in hand rather than as a broadcast-joined 1-row relation
-    seed_rows = sorted(
-        emb.filter(f"vec_id >= 0 and vec_id < {nlist}")
-        .selectExpr("cast(vec_id as bigint) as cid", "embedding as c")
-        .collect(),
-        key=lambda r: r.cid,
-    )
+    if seed_rows is None:
+        seed_rows = sorted(
+            emb.filter(f"vec_id >= 0 and vec_id < {nlist}")
+            .selectExpr("cast(vec_id as bigint) as cid", "embedding as c")
+            .collect(),
+            key=lambda r: r.cid,
+        )
     # Lloyd update in integer micro space. Round 8: the per-element
     # ``floor(x·1e6)`` explode (N·dim float rows through two codegen
     # stages) is folded INTO the numpy assignment kernel as per-task
@@ -1021,11 +1064,6 @@ def _kmeans_assign(emb: DataFrame, nlist: int):
         ),
         key=lambda r: r.cid,
     )
-    spark = emb.sparkSession
-    cent_row = spark.createDataFrame(
-        [([(int(r.cid), [float(v) for v in r.c]) for r in cent_rows],)],
-        "cents array<struct<cid:bigint, c:array<double>>>",
-    ).selectExpr(_WITH_NB)
     assign = _assign_arrow(
         emb_n,
         [int(r.cid) for r in cent_rows],
@@ -1034,7 +1072,7 @@ def _kmeans_assign(emb: DataFrame, nlist: int):
         # such vectors leave the clustering in BOTH engines (the
         # oracle's a2 row_number naturally drops them)
     ).filter("cid is not null")
-    return assign, cent_row
+    return assign, cent_rows
 
 
 def ivf_topk(
@@ -1048,40 +1086,132 @@ def ivf_topk(
     emb = _emb_seq_nonzero(spark, sf_dir)
     if nlist is None:
         nlist = nlist_for(_n_vecs(sf_dir))
-    emb_n = emb.selectExpr(
-        "vec_id", "embedding",
-        f"{_NORM.format(a='embedding')} as nv",
+    # ONE bounded collect fetches the k-means seeds AND the query
+    # vectors (round 8): the old plan ran a separate broadcast subplan
+    # (scan → filter → centroid join → per-query struct-sort explode)
+    # just to pick each query's top-nprobe cells — n_queries × nlist
+    # scalar cosines, driver-sized work by construction. The numpy
+    # probe ranking below mirrors the JVM struct-sort bit-for-bit:
+    # same floor-micro sims (veccore), (-sim, cid) ascending order.
+    base_rows = emb.filter(
+        f"(vec_id >= 0 and vec_id < {nlist}) or vec_id < {n_queries}"
+    ).selectExpr("cast(vec_id as bigint) as cid", "embedding as c").collect()
+    seed_rows = sorted(
+        (r for r in base_rows if 0 <= r.cid < nlist), key=lambda r: r.cid
     )
-    assign2, cent_row = _kmeans_assign(emb, nlist)
-    # top-nprobe cells per query, still per-row: sort the nlist-element
-    # struct array by (-sim, cid) ascending == (sim DESC, cid ASC),
-    # slice nprobe, explode — n_queries×nprobe rows total, no window
-    q_dot = _DOT.format(a="q", b="ct.c")
-    probes = (
-        emb_n.filter(F.col("vec_id") < n_queries)
-        .selectExpr("vec_id as qid", "embedding as q", "nv as nq")
-        .join(F.broadcast(cent_row))
-        .selectExpr(
-            "qid",
-            "q",
-            "nq",
-            f"explode(slice(array_sort(transform(cents, ct -> struct("
-            f"-cast(floor({q_dot} / (nq * ct.nb) * 1000000) as bigint)"
-            f" as neg_sim,"
-            f" cast(ct.cid as bigint) as cid))), 1, {nprobe})) as pr",
-        )
-        .selectExpr("qid", "q", "nq", "pr.cid as cid")
+    query_rows = sorted(
+        (r for r in base_rows if r.cid < n_queries), key=lambda r: r.cid
     )
-    vq_dot = _DOT.format(a="embedding", b="q")
-    scored = (
-        assign2.join(F.broadcast(probes), "cid")
-        .filter("vec_id != qid")
-        .selectExpr(
-            "qid",
-            "vec_id",
-            f"cast(floor({vq_dot} / (nv * nq) * 1000000) as bigint)"
-            " as sim_micro",
+    # the assignment DF from _kmeans_assign is not executed here — ivf
+    # only needs the refined centroids; the fused kernel below
+    # re-derives each vector's cell exactly (same argmax, pinned)
+    _assign_df, cent_rows = _kmeans_assign(emb, nlist, seed_rows=seed_rows)
+
+    import numpy as np
+
+    from deepdoc_api_spark.ops.veccore import seq_norm, sim_micro_matrix
+
+    probe_tuples_np: list = []
+    if cent_rows and query_rows:
+        C = np.array(
+            [[float(v) for v in r.c] for r in cent_rows], dtype=np.float64
         )
+        cids = np.array([int(r.cid) for r in cent_rows], dtype=np.int64)
+        nb = seq_norm(C)
+        Q = np.array(
+            [[float(v) for v in r.c] for r in query_rows], dtype=np.float64
+        )
+        nq = seq_norm(Q)
+        sims = sim_micro_matrix(Q, nq, C, nb)  # (n_queries, n_cents)
+        for qi, r in enumerate(query_rows):
+            order = np.lexsort((cids, -sims[qi]))[:nprobe]
+            for ci in order:
+                probe_tuples_np.append(
+                    (int(r.cid), Q[qi], float(nq[qi]), int(cids[ci]))
+                )
+
+    # Fused assign+score kernel (round 8): the probe map (cell → its
+    # probing queries) is driver-known, so the member fetch join and
+    # the per-pair interpreted dot disappear — each task assigns its
+    # vectors to cells and scores them against exactly the queries
+    # probing that cell, all in one numpy pass. Identical arithmetic:
+    # the same argmax cell (pinned), the same floor-micro cosine with
+    # nv·nq denominators (pinned), the same vec_id != qid guard.
+    per_cid: dict = {}
+    for qid, q, nqv, cid in probe_tuples_np:
+        per_cid.setdefault(cid, []).append((qid, q, nqv))
+    Ca2 = np.array(
+        [[float(v) for v in r.c] for r in cent_rows], dtype=np.float64
+    )
+    from deepdoc_api_spark.ops.veccore import seq_norm as _seq_norm
+
+    bc_score = spark.sparkContext.broadcast(
+        (
+            np.array([int(r.cid) for r in cent_rows], dtype=np.int64),
+            Ca2,
+            _seq_norm(Ca2) if len(cent_rows) else np.zeros(0),
+            {
+                c: (
+                    np.array([t[0] for t in lst], dtype=np.int64),
+                    np.array([t[1] for t in lst], dtype=np.float64),
+                    np.array([t[2] for t in lst], dtype=np.float64),
+                )
+                for c, lst in per_cid.items()
+            },
+        )
+    )
+    dim = len(cent_rows[0].c) if cent_rows else 0
+
+    def score(batches):
+        import pyarrow as pa
+
+        from deepdoc_api_spark.ops.veccore import (
+            argmax_cid,
+            list_col_to_matrix,
+            seq_norm,
+            sim_micro_matrix,
+        )
+
+        cids_b, C_b, nb_b, pb = bc_score.value
+        if len(cids_b) == 0 or not pb:
+            return
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            ids = rb.column(rb.schema.get_field_index("vec_id")).to_numpy(
+                zero_copy_only=False
+            )
+            X = list_col_to_matrix(
+                rb.column(rb.schema.get_field_index("embedding")), dim
+            )
+            nv = seq_norm(X)
+            cid = argmax_cid(sim_micro_matrix(X, nv, C_b, nb_b), cids_b)
+            o_qid: list = []
+            o_vid: list = []
+            o_sim: list = []
+            for c, (qid_arr, Qc, nqc) in pb.items():
+                m = cid == c
+                if not m.any():
+                    continue
+                sims = sim_micro_matrix(X[m], nv[m], Qc, nqc)
+                vq = np.repeat(ids[m], len(qid_arr))
+                qq = np.tile(qid_arr, int(m.sum()))
+                keep = vq != qq
+                o_qid.append(qq[keep])
+                o_vid.append(vq[keep])
+                o_sim.append(sims.reshape(-1)[keep])
+            if o_qid:
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(np.concatenate(o_qid), type=pa.int64()),
+                        pa.array(np.concatenate(o_vid), type=pa.int64()),
+                        pa.array(np.concatenate(o_sim), type=pa.int64()),
+                    ],
+                    names=["qid", "vec_id", "sim_micro"],
+                )
+
+    scored = emb.select("vec_id", "embedding").mapInArrow(
+        score, "qid bigint, vec_id bigint, sim_micro bigint"
     )
     return (
         scored.withColumn(

@@ -45,13 +45,22 @@ def test_minhash_has_no_extra_shuffle(spark, sf_dir):
     assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 1
 
 
-def test_ann_broadcasts_query_side(spark, sf_dir):
+def test_ann_query_side_never_shuffles_big_side(spark, sf_dir):
+    """The scoring pass must see the big side map-side only: round 8
+    replaced the broadcast join + interpreted per-pair dot with a numpy
+    kernel closing over the collected (bounded) query side — the big
+    table still reaches scoring without ANY join or exchange; the only
+    shuffle left is the final per-query top-k window."""
+    import re
+
     from deepdoc_api_spark.ops import similarity
 
     plan = plan_of(similarity.brute_force_topk(spark, sf_dir))
-    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
-    # the big side must NOT be exchanged for the join itself
-    assert "SortMergeJoin" not in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert "MapInArrow" in plan
+    # exactly one Exchange: the top-k window's hashpartitioning(qid)
+    exchanges = re.findall(r"^\(\d+\) Exchange", plan, re.M)
+    assert len(exchanges) == 1, plan[:800]
 
 
 def test_jaccard_prunes_with_broadcast(spark, sf_dir):
@@ -324,10 +333,11 @@ def test_ivf_topk_shape_and_recall(spark, sf_dir):
     assert len(ivf_rows) == len(exact), "IVF must fill k rows per query"
     assert len(exact & ivf) / len(exact) >= 0.5
     plan = plan_of(similarity.ivf_topk(spark, sf_dir))
-    # every centroid/probe join must broadcast the tiny side — the big
-    # table is never shuffled for a join
-    assert "SortMergeJoin" not in plan
-    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    # round 8: the big table is never joined at all — the driver-known
+    # probe map is closed over by the fused assign+score kernel, so the
+    # final plan is scan → MapInArrow → the one top-k window exchange
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert "MapInArrow" in plan
 
 
 def test_containment_catches_subset_jaccard_misses(spark, sf_dir):
