@@ -294,8 +294,21 @@ def ensure_mineru_jsonl(sf_dir: str) -> str:
     digest = hashlib.md5(
         (f"v{_SRC_GEN_VERSION}:" + ",".join(str(i) for i in ids)).encode()
     ).hexdigest()[:16]
-    root = os.path.join(tempfile.gettempdir(), "ddspark-mineru-cache")
-    os.makedirs(root, exist_ok=True)
+    # per-user cache root with owner verification (round-7 ADVICE): a
+    # fixed name in world-writable /tmp can be pre-created (squatted)
+    # by another user — either DoS'ing writes or substituting content a
+    # later process would silently consume. uid-suffixed dir, 0o700,
+    # ownership checked after creation.
+    root = os.path.join(
+        tempfile.gettempdir(), f"ddspark-mineru-cache-{os.getuid()}"
+    )
+    os.makedirs(root, mode=0o700, exist_ok=True)
+    st = os.stat(root)
+    if st.st_uid != os.getuid():
+        raise RuntimeError(
+            f"mineru cache dir {root!r} is owned by uid {st.st_uid}, "
+            f"not the current user — refusing to use a squatted cache"
+        )
     path = os.path.join(root, f"mineru-src-{digest}.jsonl")
     if os.path.exists(path):
         return path
