@@ -708,35 +708,37 @@ def simhash_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     64-bit value keeps the bit math engine-portable (no sign-bit
     overflow in either engine) and the words ARE the LSH band keys.
     """
-    def kernel(batches):
-        import pyarrow as pa
-
-        from deepdoc_api_spark.ops.texthash import simhash64_words
-
-        for rb in batches:
-            ids = rb.column(rb.schema.get_field_index("doc_id")).to_pylist()
-            dws = rb.column(rb.schema.get_field_index("dw")).to_pylist()
-            if not ids:
-                continue
-            words4 = [simhash64_words(dw) for dw in dws]
-            yield pa.RecordBatch.from_arrays(
-                [pa.array(ids, type=pa.int64())]
-                + [
-                    pa.array([w[k] for w in words4], type=pa.int64())
-                    for k in range(4)
-                ],
-                names=["doc_id", "w0", "w1", "w2", "w3"],
-            )
-
-    # round 8: one md5 per distinct word, windows from the digest
-    # bytes, 64 integer bit sums — the Python kernel computes the
-    # identical values (integer sums are order-free; bit-equality
-    # pinned by tests/test_texthash_bitexact.py) without the
-    # interpreted-lambda evaluation and its fresh-session JIT cost
-    return (
-        _docs_words(spark, sf_dir)
-        .selectExpr("doc_id", "array_distinct(w) as dw")
-        .mapInArrow(kernel, "doc_id bigint, w0 bigint, w1 bigint, w2 bigint, w3 bigint")
+    # (round-8 A/B, interleaved ×4: a Python md5+numpy bit-fold kernel
+    # measured consistently SLOWER — warm 1.41-1.74 vs 1.18-1.51 s at
+    # sf0.1 — so the JVM expression form stays, like the 16-bit
+    # variant; the Python twin remains bit-equality-pinned in
+    # tests/test_texthash_bitexact.py as the A/B record)
+    words = _docs_words(spark, sf_dir).selectExpr(
+        "doc_id", "array_distinct(w) as dw"
+    )
+    hashes = words.selectExpr(
+        "doc_id", "transform(dw, x -> md5(concat('0:', x))) as ds"
+    ).selectExpr(
+        "doc_id",
+        "transform(ds, d -> cast(conv(substr(d, 1, 8), 16, 10) as bigint)) as ha",
+        "transform(ds, d -> cast(conv(substr(d, 9, 8), 16, 10) as bigint)) as hb",
+    )
+    bit_sums = [
+        f"aggregate({arr}, cast(0 as bigint), (acc, h) ->"
+        f" acc + ((h >> {i % 32}) & 1) * 2 - 1) as b{i}"
+        for i, arr in [(j, "ha") for j in range(32)] + [(j, "hb") for j in range(32, 64)]
+    ]
+    word_exprs = [
+        "cast("
+        + " + ".join(
+            f"(case when b{16 * k + j} >= 0 then {1 << j} else 0 end)"
+            for j in range(16)
+        )
+        + f" as bigint) as w{k}"
+        for k in range(4)
+    ]
+    return hashes.selectExpr("doc_id", *bit_sums).selectExpr(
+        "doc_id", *word_exprs
     )
 
 
